@@ -1,0 +1,15 @@
+"""PySpark-native schema/constraint validation + distribution-drift engine.
+
+A from-scratch Spark-first re-expression of the capabilities of the reference
+MLOps drift-detection system (peytonramsey/mlops-drift-detection), generalized
+to a web-scale validation engine over source-code repository tables
+``(repo string, path string, commit string, lang string, content string)``.
+
+Everything is declared through the DataFrame API so Catalyst/Tungsten pick the
+physical strategy; Python touches data only through Arrow-vectorized pandas
+UDFs, and only where built-in functions cannot express the semantics.
+"""
+
+__version__ = "0.1.0"
+
+from mlops_drift_detection_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,205 @@
+"""Baseline snapshot: frozen statistics a drift run compares against.
+
+Mirrors the reference's ``models/baseline_stats.json`` artifact
+(src/monitoring/baseline_calculator.py:31-100):
+
+* per numerical feature: mean/std/min/max/median/q25/q75 and 10-quantile PSI
+  bin edges (``pd.qcut(q=10, duplicates='drop')`` semantics: quantile edges
+  with duplicate-edge drop, equal-width ``np.linspace`` fallback when <2 bins
+  survive — baseline_calculator.py:81-93) plus per-bin counts.
+* per categorical feature: the category list and per-category counts /
+  proportions (generalizing the reference's binary ``proportion_positive``
+  path, baseline_calculator.py:53-58).
+
+The snapshot is tiny (KBs) regardless of input size — computed with ONE
+aggregate pass per feature batch, collected to the driver, persisted as JSON,
+and broadcast back to executors for the drift pass. At 100 TB the cost is the
+scan; everything after the partial aggregation is O(features x bins).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PSI_BINS = 10  # reference: baseline_calculator.py:73
+QUANTILE_REL_ERR = 1e-4  # approxQuantile relative error at scale
+
+
+@dataclass
+class NumericalBaseline:
+    mean: float
+    std: float
+    min: float
+    max: float
+    median: float
+    q25: float
+    q75: float
+    bins: list[float]
+    counts: list[float]
+
+
+@dataclass
+class CategoricalBaseline:
+    categories: list[str]
+    counts: list[float]
+    proportions: list[float]
+
+
+@dataclass
+class BaselineSnapshot:
+    n_samples: int
+    numerical: dict[str, NumericalBaseline] = field(default_factory=dict)
+    categorical: dict[str, CategoricalBaseline] = field(default_factory=dict)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "n_samples": self.n_samples,
+            "numerical": {k: vars(v) for k, v in self.numerical.items()},
+            "categorical": {k: vars(v) for k, v in self.categorical.items()},
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "BaselineSnapshot":
+        return cls(
+            n_samples=d["n_samples"],
+            numerical={k: NumericalBaseline(**v) for k, v in d["numerical"].items()},
+            categorical={
+                k: CategoricalBaseline(**v) for k, v in d["categorical"].items()
+            },
+        )
+
+    def save(self, path: str) -> None:
+        """Atomic write-then-rename so a killed run never leaves a torn file."""
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "BaselineSnapshot":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def qcut_edges(quantiles: list[float], lo: float, hi: float) -> list[float]:
+    """qcut(duplicates='drop') edge post-processing + equal-width fallback.
+
+    ``quantiles`` are the 0,10,...,100th percentiles. Drops duplicate edges
+    (pd.qcut duplicates='drop'); if fewer than 2 edges survive (constant
+    column), falls back to ``np.linspace(min, max, 11)`` like
+    baseline_calculator.py:89-93 (degenerate: all edges equal -> single
+    catch-all handled by histogram's out-of-range rules).
+    """
+    edges: list[float] = []
+    for q in quantiles:
+        if not edges or q > edges[-1]:
+            edges.append(float(q))
+    if len(edges) < 2:
+        edges = list(np.linspace(lo, hi, N_PSI_BINS + 1)) if hi > lo else [lo, hi]
+        if len(edges) < 2 or edges[0] == edges[-1]:
+            # fully constant column: one degenerate bin [v, v]
+            edges = [lo, hi if hi > lo else lo]
+    return [float(e) for e in edges]
+
+
+def compute_baseline(
+    df: DataFrame,
+    numerical_cols: list[str],
+    categorical_cols: list[str],
+    exact_quantiles: bool = False,
+    max_categories: int = 1000,
+) -> BaselineSnapshot:
+    """Compute the snapshot in a bounded number of full-data passes.
+
+    Pass 1: one ``agg`` computing count + moments + quantile edges for ALL
+    numerical columns at once (``percentile_approx`` returns the whole edge
+    array per column — no per-column jobs). Pass 2: one histogram job per
+    numerical column (each is a groupBy on a 10-value bucket key — cheap,
+    and Spark runs the scans off the same cached/columnar source). Pass 3:
+    one groupBy per categorical column.
+
+    ``exact_quantiles=True`` uses the exact ``percentile`` aggregate — for
+    tests / small data; at 100 TB use the default approx path (rel. err 1e-4).
+    """
+    from mlops_drift_detection_spark.operators.histogram import histogram_counts
+
+    # one sorted grid: the 11 decile edges plus exact q25/q75 positions
+    probs = sorted({i / N_PSI_BINS for i in range(N_PSI_BINS + 1)} | {0.25, 0.75})
+    decile_idx = [probs.index(i / N_PSI_BINS) for i in range(N_PSI_BINS + 1)]
+    pfunc = "percentile" if exact_quantiles else "percentile_approx"
+    acc_arg = "" if exact_quantiles else f", {int(1.0 / QUANTILE_REL_ERR)}"
+
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in numerical_cols:
+        aggs += [
+            F.avg(c).alias(f"{c}__mean"),
+            F.stddev_samp(c).alias(f"{c}__std"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.expr(
+                f"{pfunc}({c}, array({','.join(str(p) for p in probs)}){acc_arg})"
+            ).alias(f"{c}__qs"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+
+    snap = BaselineSnapshot(n_samples=int(row["__n"]))
+    for c in numerical_cols:
+        qs = row[f"{c}__qs"]
+        lo = float(row[f"{c}__min"]) if row[f"{c}__min"] is not None else 0.0
+        hi = float(row[f"{c}__max"]) if row[f"{c}__max"] is not None else 0.0
+        deciles = [float(qs[i]) for i in decile_idx] if qs else []
+        edges = qcut_edges(deciles, lo, hi)
+        counts_df = histogram_counts(df, c, edges)
+        counts_rows = counts_df.collect()
+        counts = (
+            [float(x) for x in counts_rows[0]["counts"]]
+            if counts_rows
+            else [0.0] * (len(edges) - 1)
+        )
+        std = row[f"{c}__std"]
+        snap.numerical[c] = NumericalBaseline(
+            mean=_f(row[f"{c}__mean"]),
+            std=_f(std),
+            min=lo,
+            max=hi,
+            median=float(qs[probs.index(0.5)]) if qs else 0.0,
+            q25=float(qs[probs.index(0.25)]) if qs else 0.0,
+            q75=float(qs[probs.index(0.75)]) if qs else 0.0,
+            bins=edges,
+            counts=counts,
+        )
+
+    for c in categorical_cols:
+        rows = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc(c))
+            .limit(max_categories)
+            .collect()
+        )
+        total = sum(r["cnt"] for r in rows) or 1
+        snap.categorical[c] = CategoricalBaseline(
+            categories=[r[c] for r in rows],
+            counts=[float(r["cnt"]) for r in rows],
+            proportions=[r["cnt"] / total for r in rows],
+        )
+    return snap
+
+
+def _f(x) -> float:
+    if x is None:
+        return 0.0
+    x = float(x)
+    return 0.0 if math.isnan(x) else x
+
+

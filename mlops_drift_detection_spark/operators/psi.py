@@ -1,0 +1,165 @@
+"""Population Stability Index + binned KS statistic.
+
+Reference-exact PSI semantics (reference: src/monitoring/drift_detector.py:43-85):
+
+* if ``sum(actual) == 0`` or ``sum(expected) == 0`` -> PSI = 0.0
+* normalize each count vector to proportions
+* floor zero proportions at 0.0001 (AFTER normalizing)
+* PSI = sum((a_p - e_p) * ln(a_p / e_p))
+* NaN or Inf result -> 0.0
+
+Two implementations with identical results:
+
+* :func:`psi_from_counts` — numpy, driver-side / test oracle.
+* :func:`psi_expr` — a native Spark ``Column`` over two ``array<double>`` count
+  columns. Runs entirely JVM-side via ``aggregate``/``zip_with``; this is what
+  the distributed drift pass uses, so PSI on a billion-group table is one
+  whole-stage-codegen projection over merged histogram arrays, never Python.
+
+The critical scale rule (SURVEY.md §7): histograms are merged across
+partitions FIRST, then PSI is computed on the merged vector. Never average
+per-partition PSIs — PSI is not decomposable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PROP_FLOOR = 1e-4  # reference: drift_detector.py:75-76
+
+# PSI severity ladder — reference: drift_detector.py:227-234
+PSI_ALARM_THRESHOLD = 0.2
+
+
+def psi_from_counts(
+    expected_counts: Sequence[float], actual_counts: Sequence[float]
+) -> float:
+    """NumPy PSI with reference-exact edge-case handling."""
+    expected = np.asarray(expected_counts, dtype=float)
+    actual = np.asarray(actual_counts, dtype=float)
+    if actual.sum() == 0 or expected.sum() == 0:
+        return 0.0
+    expected_prop = expected / expected.sum()
+    actual_prop = actual / actual.sum()
+    expected_prop = np.where(expected_prop == 0, PROP_FLOOR, expected_prop)
+    actual_prop = np.where(actual_prop == 0, PROP_FLOOR, actual_prop)
+    psi = np.sum((actual_prop - expected_prop) * np.log(actual_prop / expected_prop))
+    if np.isnan(psi) or np.isinf(psi):
+        return 0.0
+    return float(psi)
+
+
+def _prop_array(counts: Column, total: Column) -> Column:
+    """counts / total with the 0 -> PROP_FLOOR floor applied post-normalize."""
+    return F.transform(
+        counts,
+        lambda c: F.when(c == F.lit(0.0), F.lit(PROP_FLOOR)).otherwise(c / total),
+    )
+
+
+def psi_expr(expected_counts: Column, actual_counts: Column) -> Column:
+    """Native PSI over two ``array<double>`` columns (JVM-side, no UDF).
+
+    NULL/short arrays are treated as no-signal -> 0.0, matching the reference's
+    guard behavior. Result is a ``double`` column.
+    """
+    e = F.transform(expected_counts, lambda x: x.cast("double"))
+    a = F.transform(actual_counts, lambda x: x.cast("double"))
+    e_sum = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
+    a_sum = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+    e_prop = _prop_array(e, e_sum)
+    a_prop = _prop_array(a, a_sum)
+    terms = F.zip_with(a_prop, e_prop, lambda ap, ep: (ap - ep) * F.log(ap / ep))
+    psi = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    guarded = F.when(
+        expected_counts.isNull()
+        | actual_counts.isNull()
+        | (F.size(expected_counts) != F.size(actual_counts))
+        | (e_sum == F.lit(0.0))
+        | (a_sum == F.lit(0.0))
+        | F.isnan(psi)
+        | (F.abs(psi) == F.lit(float("inf"))),
+        F.lit(0.0),
+    ).otherwise(psi)
+    return guarded
+
+
+def psi_severity_expr(psi: Column) -> Column:
+    """Severity ladder: <0.1 low / <0.2 medium / else high (drift_detector.py:227-234)."""
+    return (
+        F.when(psi < 0.1, F.lit("low"))
+        .when(psi < 0.2, F.lit("medium"))
+        .otherwise(F.lit("high"))
+    )
+
+
+def psi_severity(psi: float) -> str:
+    if psi < 0.1:
+        return "low"
+    if psi < 0.2:
+        return "medium"
+    return "high"
+
+
+def ks_from_counts(
+    expected_counts: Sequence[float], actual_counts: Sequence[float]
+) -> float:
+    """Two-sample KS statistic on binned CDFs.
+
+    The reference *names* KS but never computes it (drift_detector.py:131-134
+    falls back to PSI); the north_star requires a real one. On binned data the
+    KS statistic is max |CDF_e(b) - CDF_a(b)| over bin boundaries.
+    """
+    expected = np.asarray(expected_counts, dtype=float)
+    actual = np.asarray(actual_counts, dtype=float)
+    if expected.sum() == 0 or actual.sum() == 0:
+        return 0.0
+    e_cdf = np.cumsum(expected) / expected.sum()
+    a_cdf = np.cumsum(actual) / actual.sum()
+    return float(np.max(np.abs(e_cdf - a_cdf)))
+
+
+def ks_expr(expected_counts: Column, actual_counts: Column) -> Column:
+    """Native binned-KS over two ``array<double>`` columns (JVM-side).
+
+    Builds running-sum CDF arrays with ``aggregate`` (accumulating into an
+    array), then takes max |diff|.
+    """
+    e = F.transform(expected_counts, lambda x: x.cast("double"))
+    a = F.transform(actual_counts, lambda x: x.cast("double"))
+    e_sum = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
+    a_sum = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _cdf(arr: Column, total: Column) -> Column:
+        # aggregate into (running_total, array_of_cdf) struct
+        return F.aggregate(
+            arr,
+            F.struct(
+                F.lit(0.0).alias("run"),
+                F.array().cast("array<double>").alias("cdf"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["run"] + x).alias("run"),
+                F.concat(acc["cdf"], F.array((acc["run"] + x) / total)).alias("cdf"),
+            ),
+            lambda acc: acc["cdf"],
+        )
+
+    diffs = F.zip_with(_cdf(e, e_sum), _cdf(a, a_sum), lambda x, y: F.abs(x - y))
+    ks = F.array_max(diffs)
+    return (
+        F.when(
+            expected_counts.isNull()
+            | actual_counts.isNull()
+            | (F.size(expected_counts) != F.size(actual_counts))
+            | (e_sum == F.lit(0.0))
+            | (a_sum == F.lit(0.0)),
+            F.lit(0.0),
+        )
+        .otherwise(ks)
+        .cast("double")
+    )

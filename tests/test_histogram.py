@@ -1,0 +1,98 @@
+"""Histogram bucketing vs pd.cut oracle (drift_detector.py:115-126 semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.operators.histogram import (
+    categorical_counts,
+    histogram_counts,
+    histogram_from_values,
+)
+
+
+def pd_cut_counts(values, edges):
+    """The reference's binning oracle: pd.cut(...include_lowest).value_counts()
+    zero-filled to n_bins (drift_detector.py:115-126)."""
+    s = pd.Series(values).dropna()
+    binned = pd.cut(s, bins=edges, include_lowest=True)
+    counts = binned.value_counts().sort_index().to_numpy(dtype=float)
+    full = np.zeros(len(edges) - 1)
+    full[: len(counts)] = counts
+    return full
+
+
+EDGES = [0.0, 1.0, 2.5, 5.0, 10.0]
+
+DATASETS = [
+    [0.0, 0.5, 1.0, 1.5, 2.5, 2.6, 5.0, 9.9, 10.0],       # edge values
+    [-5.0, 0.0, 10.0, 10.1, 11.0],                        # out of range both sides
+    [0.0] * 10,                                            # all at include_lowest
+    [3.3, None, 4.4, float("nan"), 7.7],                  # nulls / NaNs
+    [float(v) for v in np.linspace(-2, 12, 101)],          # dense sweep
+    [],                                                    # empty
+]
+
+
+@pytest.mark.parametrize("values", DATASETS, ids=range(len(DATASETS)))
+@pytest.mark.parametrize("strategy", ["native", "arrow"])
+def test_histogram_matches_pd_cut(spark, values, strategy):
+    clean = [v for v in values]
+    df = spark.createDataFrame([(v,) for v in clean], "x double")
+    got_rows = histogram_counts(df, "x", EDGES, strategy=strategy).collect()
+    want = pd_cut_counts([v for v in values if v is not None], EDGES)
+    if not got_rows:
+        assert want.sum() == 0
+        return
+    got = np.array(got_rows[0]["counts"])
+    np.testing.assert_allclose(got, want)
+
+
+def test_histogram_from_values_oracle():
+    vals = [v for v in DATASETS[4]]
+    np.testing.assert_allclose(
+        histogram_from_values(vals, EDGES), pd_cut_counts(vals, EDGES)
+    )
+
+
+def test_histogram_grouped(spark):
+    rows = [("a", float(i % 7)) for i in range(50)] + [
+        ("b", float(i % 3)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: np.array(r["counts"])
+        for r in histogram_counts(df, "x", EDGES, group_cols=["g"]).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    for g, sub in pdf.groupby("g"):
+        np.testing.assert_allclose(got[g], pd_cut_counts(sub["x"].tolist(), EDGES))
+
+
+def test_histogram_partition_invariance(spark):
+    """Same counts regardless of physical partitioning (merge-then-count)."""
+    vals = [float(v) for v in np.linspace(0, 10, 500)]
+    df1 = spark.createDataFrame([(v,) for v in vals], "x double").repartition(1)
+    df2 = spark.createDataFrame([(v,) for v in vals], "x double").repartition(13)
+    c1 = histogram_counts(df1, "x", EDGES).collect()[0]["counts"]
+    c2 = histogram_counts(df2, "x", EDGES).collect()[0]["counts"]
+    assert list(c1) == list(c2)
+
+
+def test_categorical_counts(spark):
+    rows = [("py",), ("py",), ("go",), ("rs",), (None,), ("zz",)]
+    df = spark.createDataFrame(rows, "lang string")
+    got = categorical_counts(df, "lang", ["py", "go", "java"]).collect()[0]["counts"]
+    # fixed category order; 'zz' outside list ignored; 'java' zero-filled
+    assert list(got) == [2.0, 1.0, 0.0]
+
+
+def test_categorical_counts_grouped(spark):
+    rows = [("s1", "py"), ("s1", "py"), ("s1", "go"), ("s2", "go")]
+    df = spark.createDataFrame(rows, "src string, lang string")
+    got = {
+        r["src"]: list(r["counts"])
+        for r in categorical_counts(df, "lang", ["py", "go"], ["src"]).collect()
+    }
+    assert got == {"s1": [2.0, 1.0], "s2": [0.0, 1.0]}

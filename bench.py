@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the full
+constraint+drift validation pass (the north-rule metric) over a generated
+code_files table.
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "validated_rows_per_sec": <rows/s>, "validated_rows": N}
+
+Usage: python bench.py [--rows N] [--cpus N] [--skip-fullpass]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "stats_moments",
+    "stats_quantiles",
+    "histogram_nchars",
+    "psi_lang_split",
+    "psi_nchars_split",
+    "drift_verdicts",
+    "uniqueness_events",
+    "referential_orders",
+    "pricing_summary",
+    "segment_revenue",
+    "daily_event_windows",
+]
+
+BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+
+
+def _get_spark(cpus: int):
+    from mlops_drift_detection_spark.session import get_spark
+
+    return get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+
+def ensure_code_fixture(spark, n_rows: int) -> dict[str, str]:
+    """Generate (once) and reuse the deterministic code_files fixture."""
+    from mlops_drift_detection_spark.datagen import CodeFilesSpec, write_fixture
+
+    tag = f"rows{n_rows}"
+    out_dir = os.path.join(BENCH_DATA_DIR, tag)
+    marker = os.path.join(out_dir, "_DONE")
+    paths = {
+        "code_files": f"{out_dir}/code_files",
+        "commits": f"{out_dir}/commits",
+    }
+    if os.path.exists(marker):
+        return paths
+    spec = CodeFilesSpec(
+        n_rows=n_rows,
+        n_repos=max(100, n_rows // 5000),
+        n_commits=max(1000, n_rows // 50),
+        partitions=64,
+    )
+    paths = write_fixture(spark, out_dir, spec)
+    with open(marker, "w") as f:
+        f.write(tag)
+    return paths
+
+
+def run_full_pass(spark, paths: dict[str, str]) -> dict:
+    """The north-rule metric: validated rows/sec, full constraint+drift pass."""
+    from mlops_drift_detection_spark.plans.suite import SuiteConfig, ValidationSuite
+
+    cf = spark.read.parquet(paths["code_files"])
+    cm = spark.read.parquet(paths["commits"])
+    baseline = ValidationSuite.compute_baseline_snapshot(cf)
+    suite = ValidationSuite(baseline, SuiteConfig(n_partition_buckets=32))
+    t0 = time.time()
+    res = suite.run(cf, cm)
+    n_viol = res.violations.count()
+    n_verd = res.verdicts.count()
+    elapsed = time.time() - t0
+    return {
+        "validated_rows": res.n_rows_validated,
+        "violations": n_viol,
+        "verdicts": n_verd,
+        "fullpass_sec": round(elapsed, 3),
+        "validated_rows_per_sec": round(res.n_rows_validated / elapsed, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=int(os.environ.get("BENCH_ROWS", "2000000")))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--skip-fullpass", action="store_true")
+    ap.add_argument("--skip-headline", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    spark = _get_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mlops_drift_detection_spark.queries import QUERIES
+
+    per_query: dict[str, float] = {}
+    if not args.skip_headline:
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            # warm the reader metadata once, then time the full execution
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            per_query[name] = round(time.time() - t0, 3)
+            _ = n
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": args.cpus,
+    }
+
+    if not args.skip_fullpass:
+        paths = ensure_code_fixture(spark, args.rows)
+        out.update(run_full_pass(spark, paths))
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Deterministic synthetic ``code_files`` + ``commits`` tables (seed=42).
+
+Implements the fixture spec in FIXTURES.md: a Zipf-skewed repo universe with a
+planted mega-repo (~30% of rows), a commit dimension, planted violations with
+EXACT expected counts (duplicates, dangling commits, null lang / empty
+content), a stored ``content_sha256`` check column for the per-row invariant,
+and a "drifted" batch generator that shifts the lang mix and content-length
+distribution (the reference's normal-vs-drifted fixture pattern,
+test_drift_detection.py:46-171).
+
+Generation is distributed: rows are derived arithmetically from ``id`` via
+``spark.range`` + native column expressions + one Arrow UDF for content
+synthesis/sha, so it scales to bench sizes without driver materialization.
+Determinism: every value is a pure function of (row id, seed) — no wall-clock,
+no unseeded RNG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+SEED = 42
+
+LANGS = ["python", "java", "go", "js", "rust", "c", "md"]
+# fixed baseline lang mix
+LANG_PROBS = [0.30, 0.20, 0.12, 0.15, 0.08, 0.10, 0.05]
+# drifted batch: js/rust surge, python collapses (drives PSI over 0.2)
+LANG_PROBS_DRIFTED = [0.05, 0.10, 0.10, 0.35, 0.25, 0.10, 0.05]
+
+MEGA_REPO_SHARE = 0.30  # planted skew: one repo owns ~30% of rows
+DUP_RATE = 0.003        # duplicate (repo,path,commit) triples
+DANGLING_RATE = 0.005   # commits absent from the dim
+NULL_LANG_RATE = 0.002  # null lang / empty content rows
+
+_WORDS = (
+    "def class import return if else for while try except lambda yield "
+    "public static void int string bool struct impl fn let mut package func "
+    "interface type map chan const var new delete include printf malloc"
+).split()
+
+
+@dataclass
+class CodeFilesSpec:
+    n_rows: int = 10_000
+    n_repos: int = 100
+    n_commits: int = 2_000
+    drifted: bool = False
+    seed: int = SEED
+    partitions: int | None = None
+
+
+def _lang_thresholds(probs: list[float]) -> list[float]:
+    cum, out = 0.0, []
+    for p in probs:
+        cum += p
+        out.append(cum)
+    return out
+
+
+def _u(col, salt: int, seed: int):
+    """Deterministic uniform [0,1) from a row id: hash-based, seed-mixed."""
+    return (
+        F.abs(F.xxhash64(col.cast("long"), F.lit(seed), F.lit(salt)))
+        % F.lit(1_000_000_007)
+    ) / F.lit(1_000_000_007.0)
+
+
+def generate_commits(spark: SparkSession, spec: CodeFilesSpec) -> DataFrame:
+    """Commit dimension: (commit 40-hex, repo, ts). Unique commits."""
+    n = spec.n_commits
+    df = spark.range(n)
+    commit = F.lower(
+        F.concat(
+            F.lpad(F.hex(F.xxhash64(F.col("id"), F.lit(spec.seed), F.lit(1))), 16, "0"),
+            F.lpad(F.hex(F.xxhash64(F.col("id"), F.lit(spec.seed), F.lit(2))), 16, "0"),
+            F.lpad(F.hex(F.pmod(F.xxhash64(F.col("id"), F.lit(spec.seed), F.lit(3)), F.lit(2**31))), 8, "0"),
+        )
+    )
+    repo_idx = F.pmod(F.xxhash64(F.col("id"), F.lit(spec.seed), F.lit(4)), F.lit(spec.n_repos))
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        mins=F.col("id").cast("int")
+    )
+    return df.select(
+        commit.alias("commit"),
+        F.format_string("repo_%05d", repo_idx.cast("int")).alias("repo"),
+        ts.alias("ts"),
+    )
+
+
+def _content_udf(seed: int, drifted: bool):
+    """Arrow-batched content synthesis: deterministic pseudo-source text with a
+    per-lang log-normal-ish length distribution; drifted batches shift the
+    length scale (reference fixture pattern: test_drift_detection.py:110-171).
+    Returns struct<content string, content_sha256 string>."""
+
+    @pandas_udf("content string, content_sha256 string")
+    def synth(ids: pd.Series, lang_idx: pd.Series) -> pd.DataFrame:
+        rng_base = np.uint64(seed)
+        ids_np = ids.to_numpy(dtype=np.int64)
+        li = lang_idx.fillna(0).to_numpy(dtype=np.int64)
+        # per-row deterministic "randomness" from id
+        h = (ids_np.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + rng_base)
+        u1 = ((h >> np.uint64(11)) % np.uint64(10_000)).astype(float) / 10_000.0
+        u2 = ((h >> np.uint64(29)) % np.uint64(10_000)).astype(float) / 10_000.0
+        # log-normal-ish length: base scale per lang; drift doubles scale
+        base = np.array([600, 900, 500, 400, 700, 800, 250], dtype=float)[li % 7]
+        scale = 2.5 if drifted else 1.0
+        lengths = (base * scale * np.exp(0.6 * (u1 - 0.5) * 2)).astype(int)
+        lengths = np.clip(lengths, 10, 20_000)
+        n_words = len(_WORDS)
+        contents = []
+        shas = []
+        for i in range(len(ids_np)):
+            w0 = int(h[i] % np.uint64(n_words))
+            step = 1 + int((h[i] >> np.uint64(7)) % np.uint64(5))
+            target = int(lengths[i])
+            parts = []
+            total = 0
+            j = w0
+            while total < target:
+                w = _WORDS[j % n_words]
+                parts.append(w)
+                total += len(w) + 1
+                j += step
+            text = " ".join(parts)
+            if u2[i] < 0.5:
+                text = f"// file {int(ids_np[i])}\n" + text
+            contents.append(text)
+            shas.append(hashlib.sha256(text.encode("utf-8")).hexdigest())
+        return pd.DataFrame({"content": contents, "content_sha256": shas})
+
+    return synth
+
+
+def generate_code_files(
+    spark: SparkSession, spec: CodeFilesSpec, commits: DataFrame | None = None
+) -> DataFrame:
+    """The primary input table (BASELINE.json input_hint schema) plus the
+    stored ``content_sha256`` invariant column and planted violations.
+
+    Expected violation counts (exact, asserted by tests):
+      duplicates  = floor(n_rows * DUP_RATE)   extra rows appended
+      dangling    = floor(n_rows * DANGLING_RATE) rows with unknown commit
+      null lang   = floor(n_rows * NULL_LANG_RATE) rows (also empty content)
+    """
+    n = spec.n_rows
+    seed = spec.seed
+    parts = spec.partitions or max(2, n // 250_000)
+    base = spark.range(0, n, 1, parts)
+
+    probs = LANG_PROBS_DRIFTED if spec.drifted else LANG_PROBS
+    th = _lang_thresholds(probs)
+    u_lang = _u(F.col("id"), 10, seed)
+    lang_idx = F.lit(len(LANGS) - 1)
+    for i in range(len(LANGS) - 2, -1, -1):
+        lang_idx = F.when(u_lang < F.lit(th[i]), F.lit(i)).otherwise(lang_idx)
+
+    # Zipf-ish repo assignment with planted mega-repo (repo_00000)
+    u_repo = _u(F.col("id"), 11, seed)
+    zipf_idx = F.floor(
+        F.pow(_u(F.col("id"), 12, seed), F.lit(2.0)) * F.lit(spec.n_repos - 1)
+    ).cast("int") + F.lit(1)
+    repo_idx = F.when(u_repo < F.lit(MEGA_REPO_SHARE), F.lit(0)).otherwise(zipf_idx)
+
+    n_dangling = int(n * DANGLING_RATE)
+    # dangling rows: first n_dangling ids get a commit hash outside the dim
+    commit_idx = F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(13)), F.lit(spec.n_commits))
+    good_commit = F.lower(
+        F.concat(
+            F.lpad(F.hex(F.xxhash64(commit_idx, F.lit(seed), F.lit(1))), 16, "0"),
+            F.lpad(F.hex(F.xxhash64(commit_idx, F.lit(seed), F.lit(2))), 16, "0"),
+            F.lpad(F.hex(F.pmod(F.xxhash64(commit_idx, F.lit(seed), F.lit(3)), F.lit(2**31))), 8, "0"),
+        )
+    )
+    bad_commit = F.lower(
+        F.concat(F.lit("dead"), F.lpad(F.hex(F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(14)), F.lit(2**31))), 36, "0"))
+    )
+    commit = F.when(F.col("id") < F.lit(n_dangling), bad_commit).otherwise(good_commit)
+
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in ["py", "java", "go", "js", "rs", "c", "md"]]),
+        lang_idx + 1,
+    )
+    path = F.format_string(
+        "src/dir%02d/file%05d.%s",
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(15)), F.lit(40)).cast("int"),
+        F.col("id").cast("int"),
+        ext,
+    )
+
+    n_null = int(n * NULL_LANG_RATE)
+    # null-lang / empty-content planted rows: ids in [n_dangling, n_dangling+n_null)
+    is_null_row = (F.col("id") >= F.lit(n_dangling)) & (
+        F.col("id") < F.lit(n_dangling + n_null)
+    )
+
+    df = base.select(
+        F.col("id"),
+        F.format_string("repo_%05d", repo_idx).alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        F.when(is_null_row, F.lit(None)).otherwise(
+            F.element_at(F.array(*[F.lit(l) for l in LANGS]), lang_idx + 1)
+        ).alias("lang"),
+        lang_idx.alias("__lang_idx"),
+        is_null_row.alias("__empty"),
+    )
+
+    synth = _content_udf(seed, spec.drifted)
+    df = df.withColumn("__c", synth(F.col("id"), F.col("__lang_idx")))
+    empty_sha = hashlib.sha256(b"").hexdigest()
+    df = df.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.when(F.col("__empty"), F.lit("")).otherwise(F.col("__c.content")).alias("content"),
+        F.when(F.col("__empty"), F.lit(empty_sha))
+        .otherwise(F.col("__c.content_sha256"))
+        .alias("content_sha256"),
+        F.col("id").alias("row_id"),
+    )
+
+    # planted duplicates: re-append the first n_dup rows verbatim (same triple)
+    n_dup = int(n * DUP_RATE)
+    if n_dup > 0:
+        dups = df.where(
+            (F.col("row_id") >= F.lit(n_dangling + n_null))
+            & (F.col("row_id") < F.lit(n_dangling + n_null + n_dup))
+        )
+        df = df.unionByName(dups)
+    return df
+
+
+def expected_violation_counts(spec: CodeFilesSpec) -> dict[str, int]:
+    n = spec.n_rows
+    return {
+        "duplicates": int(n * DUP_RATE),
+        "dangling": int(n * DANGLING_RATE),
+        "null_lang": int(n * NULL_LANG_RATE),
+    }
+
+
+def write_fixture(
+    spark: SparkSession, out_dir: str, spec: CodeFilesSpec | None = None
+) -> dict[str, str]:
+    """Materialize code_files + commits as parquet; returns the paths."""
+    spec = spec or CodeFilesSpec()
+    commits = generate_commits(spark, spec)
+    code_files = generate_code_files(spark, spec, commits)
+    cf_path = f"{out_dir}/code_files"
+    cm_path = f"{out_dir}/commits"
+    code_files.write.mode("overwrite").parquet(cf_path)
+    commits.write.mode("overwrite").parquet(cm_path)
+    return {"code_files": cf_path, "commits": cm_path}

@@ -1,0 +1,231 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are shuffle-shaped for 100 TB: candidate generation is always a
+key-partitioned groupBy/join (never an all-pairs cross product), and hashing
+stays JVM-side (`xxhash64`, `sha2`, `hash`) except where bit-level packing
+needs numpy (Arrow-batched, never per-row Python).
+
+* exact_duplicates / dedup_exact — hash-groupBy on content digest.
+* minhash_lsh_candidates — shingle -> K minhashes -> B bands -> bucket join.
+  Shuffle volume is O(rows x B), candidates only within equal band-buckets.
+* simhash64 — 64-bit SimHash from token hashes (weighted bit voting) via a
+  vectorized pandas UDF; near-dups = equal values on rotated prefix bands.
+* ngram_jaccard — exact Jaccard on n-gram sets for a candidate pair set
+  (verification stage after LSH).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def content_digest(col: Column) -> Column:
+    """Stable 256-bit digest for exact dedup (JVM-side sha2)."""
+    return F.sha2(col, 256)
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of identical content: digest, multiplicity, member ids.
+    One shuffle keyed on the digest; map-side combine keeps it lean."""
+    return (
+        df.select(content_digest(F.col(text_col)).alias("digest"), F.col(id_col).alias("id"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.col("n") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per identical content (deterministic winner).
+    Implemented as groupBy(digest).min(id) + semi join — no window sort over
+    the full data, so no skew from a mega-duplicate cluster."""
+    winners = (
+        df.select(content_digest(F.col(text_col)).alias("digest"), F.col(id_col).alias(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> (native: split + transform)."""
+    toks = F.split(F.trim(F.lower(col)), "\\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """K minhash values per row, all JVM-side: for seed s, min over shingles of
+    xxhash64(shingle, s). array<bigint> length K."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(s))))
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows -> signatures (one projection) -> explode B band keys -> groupBy
+    band-bucket -> pairs within bucket -> distinct. The only quadratic work
+    is inside a bucket, which LSH keeps tiny for non-pathological data.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
+    )
+    band_keys = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+    left = band_keys.alias("l")
+    right = band_keys.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs: joins each side to
+    its shingle set, then computes |A∩B| / |A∪B| with native array ops."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+    )
+    return (
+        pairs.join(sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ga", "gb"))
+                / F.size(F.array_union("ga", "gb"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in data:
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _make_simhash_udf():
+    """Vectorized 64-bit SimHash over token arrays (Arrow batches).
+
+    Per batch: hash each token (stable FNV-1a — deterministic across runs and
+    workers, unlike Python's salted hash()), vote bits, pack to int64.
+    Built lazily so importing this module needs no active SparkSession.
+    """
+
+    @pandas_udf("long")
+    def _simhash64(tokens: pd.Series) -> pd.Series:
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                out[i] = 0
+                continue
+            hs = np.array(
+                [_fnv1a64(t.encode("utf-8")) for t in toks], dtype=np.uint64
+            )
+            bits = (
+                (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            packed = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                packed |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(packed)
+        return pd.Series(out)
+
+    return _simhash64
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) — deterministic FNV-1a token hashing, stable across
+    runs/workers. SimHash complements MinHash: Hamming-space near-dup ids."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    return df.select(
+        F.col(id_col).alias("id"), _make_simhash_udf()(toks).alias("simhash")
+    )
+
+
+def simhash_candidates(
+    sim_df: DataFrame, prefix_bits: int = 16, rotations: int = 4
+) -> DataFrame:
+    """Near-dup candidates: ids sharing a rotated simhash prefix. Each
+    rotation is a groupBy key — same shuffle shape as LSH bands."""
+    outs = None
+    for r in range(rotations):
+        rot = F.expr(
+            f"cast((cast(simhash as bigint) << {r * prefix_bits}) as bigint)"
+        )
+        key = F.shiftrightunsigned(rot, 64 - prefix_bits)
+        keyed = sim_df.select("id", key.alias("bucket"), F.lit(r).alias("rot"))
+        l, rr = keyed.alias("l"), keyed.alias("r")
+        pairs = l.join(
+            rr,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.rot") == F.col("r.rot"))
+            & (F.col("l.id") < F.col("r.id")),
+        ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        outs = pairs if outs is None else outs.unionByName(pairs)
+    return outs.distinct()
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 simhashes (bit_count is JVM-side)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,143 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns with a typed metadata struct. The
+Spark-side machinery — schema, partition sizing, Arrow batch shape,
+mapInPandas signatures — is real and tested; the codec work itself is STUBBED
+(this container has no image/audio libraries): ``decode_mode="fake"``
+produces deterministic synthetic features, ``decode_mode="real"`` raises
+``NotImplementedError`` at the point where PIL/librosa would be called.
+
+Batch-shape rule for 100 TB media: keep ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` small enough that batch_bytes = records x avg_blob_size
+fits executor memory; media tables should be written with a small
+``maxPartitionBytes`` or row-group size so a task never holds >~128 MB of
+blobs at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("mime", StringType()),
+        StructField("width", LongType()),         # -1 when unknown/not image
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),   # -1 when not time-based
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payload derived from the id)."""
+    df = spark.range(n)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.encode(
+        F.concat(F.lit("blob-"), F.sha2(F.concat(F.col("id").cast("string"), F.lit(seed)), 256)),
+        "utf-8",
+    )
+    return df.select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.when(kind == "image", (F.pmod(F.col("id"), F.lit(8)) + 1) * 64).otherwise(F.lit(-1)).cast("long").alias("width"),
+        F.when(kind == "image", (F.pmod(F.col("id"), F.lit(4)) + 1) * 64).otherwise(F.lit(-1)).cast("long").alias("height"),
+        F.when(kind != "image", (F.pmod(F.col("id"), F.lit(30)) + 1) * 1000).otherwise(F.lit(-1)).cast("long").alias("duration_ms"),
+        payload.alias("payload"),
+    )
+
+
+def extract_features(
+    media: DataFrame, decode_mode: str = "fake", feature_dim: int = 16
+) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow batches of whole blobs).
+
+    ``fake``: deterministic features from the payload bytes — exercises the
+    full distributed path (schema, batching, per-kind dispatch) without
+    codecs. ``real``: the marked stub — raises NotImplementedError where a
+    codec library would decode.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode_mode == "real":
+                raise NotImplementedError(
+                    "codec decode (PIL/librosa/ffmpeg) not available in this "
+                    "environment — plug the real decoder here"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                # deterministic fake embedding: byte-histogram folded to dim
+                hist = np.bincount(b % feature_dim, minlength=feature_dim)
+                norm = np.linalg.norm(hist) or 1.0
+                feats.append((hist / norm).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+def resize_spec(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning is pure metadata math — stays JVM-side; only the pixel
+    work (stubbed) would enter Python."""
+    scale = F.when(
+        (F.col("width") > 0) & (F.col("height") > 0),
+        F.least(
+            F.lit(max_side) / F.col("width"), F.lit(max_side) / F.col("height"), F.lit(1.0)
+        ),
+    ).otherwise(F.lit(1.0))
+    return media.select(
+        "media_id",
+        "kind",
+        scale.alias("scale"),
+        F.floor(F.col("width") * scale).cast("long").alias("out_width"),
+        F.floor(F.col("height") * scale).cast("long").alias("out_height"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for time-based media: explode deterministic
+    timestamps (JVM sequence); the decode of each frame is the stubbed part."""
+    frames = F.when(
+        F.col("duration_ms") > 0,
+        F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return media.select(
+        "media_id", "kind", F.explode_outer(frames).alias("frame_ts_ms")
+    )

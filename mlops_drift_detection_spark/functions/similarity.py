@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_expr — JVM-side cosine via zip_with + aggregate (no Python).
+* brute_force_topk — exact top-k neighbors for a set of query vectors:
+  broadcast the queries, one pass over the corpus, per-query top-k via
+  window-free groupBy(min_by/slice of sorted structs). Baseline/oracle path.
+* lsh_bucketed_topk — the scale path: random-hyperplane LSH signatures
+  bucket the corpus; queries only score their own bucket (multi-probe via
+  several independent tables). Recall/latency trade governed by (planes,
+  tables).
+* embedding near-dup: pairs above a cosine threshold within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, cosine), deterministic tie-break
+    by neighbor id. Queries are broadcast — corpus is scanned once; the
+    shuffle is only the tiny per-query candidate reduction."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    ranked = scored.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cosine"), F.col("neighbor_id"))),
+                lambda l, r: F.when(l["cosine"] > r["cosine"], -1)
+                .when(l["cosine"] < r["cosine"], 1)
+                .when(l["neighbor_id"] < r["neighbor_id"], -1)
+                .when(l["neighbor_id"] > r["neighbor_id"], 1)
+                .otherwise(0),
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return ranked.select(
+        "query_id", F.explode("top").alias("t")
+    ).select(
+        "query_id",
+        F.col("t.neighbor_id").alias("neighbor_id"),
+        F.round(F.col("t.cosine"), 6).alias("cosine"),
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(planes, dim)).astype(float).tolist()
+
+
+def lsh_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """Sign-bit signature as a bigint bucket key (JVM-side dot products)."""
+    bits = []
+    for i, h in enumerate(hyperplanes):
+        arr = F.array(*[F.lit(float(x)) for x in h])
+        bits.append(
+            F.when(dot_expr(vec, arr) >= 0, F.lit(1) * F.lit(2**i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 12,
+    tables: int = 3,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only within matching LSH buckets, over
+    ``tables`` independent hash tables (multi-probe union), then reduce.
+    Bucket join is a plain equi-join -> shuffle keyed on (table, bucket);
+    at 100 TB this is the difference between O(N·Q) and O(N + Q·bucket)."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    scored_parts = []
+    for t in range(tables):
+        hp = _hyperplanes(dim, planes, seed + 1000 * t)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            lsh_signature(F.col(vec_col), hp).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            lsh_signature(F.col(vec_col), hp).alias("bucket"),
+        )
+        scored_parts.append(
+            c.join(F.broadcast(q), "bucket")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            )
+        )
+    scored = scored_parts[0]
+    for p in scored_parts[1:]:
+        scored = scored.unionByName(p)
+    scored = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    ranked = scored.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cosine"), F.col("neighbor_id"))),
+                lambda l, r: F.when(l["cosine"] > r["cosine"], -1)
+                .when(l["cosine"] < r["cosine"], 1)
+                .when(l["neighbor_id"] < r["neighbor_id"], -1)
+                .when(l["neighbor_id"] > r["neighbor_id"], 1)
+                .otherwise(0),
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return ranked.select("query_id", F.explode("top").alias("t")).select(
+        "query_id",
+        F.col("t.neighbor_id").alias("neighbor_id"),
+        F.round(F.col("t.cosine"), 6).alias("cosine"),
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= threshold), candidates restricted to
+    equal LSH buckets (high-threshold pairs collide with high probability)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    hp = _hyperplanes(dim, planes, seed)
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), hp).alias("bucket"),
+    )
+    l, r = keyed.alias("l"), keyed.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cosine_expr(F.col("l.v"), F.col("r.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,122 @@
+"""Text analysis for training-data pipelines — all JVM-side Column exprs.
+
+* token_count — whitespace tokens + a BPE-ish subword estimate (regex).
+* quality_score — length / punctuation / stopword-ratio composite.
+* language_id — n-gram/stopword-hit heuristic over a small profile table
+  (deterministic; no external models).
+* doc_fingerprint — stable content fingerprint (md5) + a rolling-hash
+  32-shingle fingerprint for fuzzy identity.
+
+Everything is a Column expression usable inside any plan (no UDFs), so these
+compose with dedup/drift passes for free and stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ich"],
+    "es": ["el", "la", "de", "que", "y", "los", "en"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    )
+
+
+def subword_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish token estimate: count word chunks + digits + punctuation marks
+    separately (a cheap regex proxy for subword tokenizers)."""
+    return (
+        F.size(F.split(F.trim(col), "\\s+"))
+        + F.size(F.split(col, "[0-9]+")) - 1
+        + F.size(F.split(col, "[\\.,;:!?]")) - 1
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.length(col)
+    punct = total - F.length(F.regexp_replace(col, "[\\.,;:!?'\"()\\[\\]{}]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    """Occurrences of any of the words, token-boundary matched."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    out = F.lit(0)
+    for w in words:
+        pat = f" {w} "
+        occ = (
+            F.length(padded) - F.length(F.regexp_replace(padded, F.lit(pat).cast("string"), F.lit("")))
+        ) / len(pat)
+        out = out + occ.cast("int")
+    return out
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = token_count(col)
+    return F.when(toks > 0, stopword_hits(col, STOPWORDS[lang]) / toks).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality: enough length, sane punctuation, some
+    stopword mass (mirrors common pretraining-data filters)."""
+    length_ok = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok, 6)
+
+
+def language_id(col: Column) -> Column:
+    """Pick the language whose stopword profile hits most (ties -> first in
+    profile order, 'und' when nothing hits). Deterministic, JVM-only."""
+    scores = [(lang, stopword_hits(col, ws)) for lang, ws in STOPWORDS.items()]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, sc in reversed(scores):
+        cond = sc > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, sc).otherwise(best_score)
+    return best
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Stable exact fingerprint: md5 of lower(trim(text))."""
+    return F.md5(F.lower(F.trim(col)))
+
+
+def rolling_fingerprint(col: Column, k: int = 8, keep: int = 4) -> Column:
+    """Fuzzy fingerprint: min-k of xxhash64 over k-shingles (a winnowing-style
+    scheme) packed to a string. Equal fingerprints -> near-identical prefixes."""
+    toks = F.split(F.trim(F.lower(col)), "\\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+    return F.array_join(
+        F.transform(F.slice(F.array_sort(hashes), 1, keep), lambda h: F.conv(h.cast("string"), 10, 16)),
+        "-",
+    )
+
+
+def text_profile(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
+    """One-pass per-group text profile used by pipeline audits."""
+    c = F.col(text_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length(c)), 4).alias("avg_chars"),
+        F.round(F.avg(token_count(c)), 4).alias("avg_tokens"),
+        F.round(F.avg(punct_ratio(c)), 6).alias("avg_punct_ratio"),
+        F.round(F.avg(quality_score(c)), 6).alias("avg_quality"),
+    )

@@ -1,0 +1,198 @@
+"""Constraint checks emitting verdicts + violation rows.
+
+Generalizes the reference's validation surface — pydantic range validators
+(src/api/schemas.py:19,31,35), the z-score out-of-range check
+(src/monitoring/drift_detector.py:295-334), and the feature-set consistency
+oracle (compare_features.py:61-86) — into distributed, declarative checks over
+the source-code table:
+
+* uniqueness on key columns: hash-partitioned ``groupBy(...).count()`` —
+  Spark's hash shuffle IS the hash partitioning; map-side partial counts make
+  the shuffle proportional to distinct keys, not rows.
+* referential (fact.commit -> dim.commit): LEFT ANTI join. Broadcast when the
+  dim is small (explicit ``F.broadcast``); otherwise shuffled anti-join with
+  AQE skew-split handling the planted mega-repo.
+* null / not-empty / range / regex / z-score row checks: pure Column
+  predicates — stay in whole-stage codegen, violations are a filter.
+* sha256 invariant: ``sha2(content, 256) == content_sha256`` per row at any
+  stage (north_rule per-row invariant).
+
+All checks return violation DataFrames with a common shape so the suite can
+union them: (check, column, repo, path, commit, detail).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VIOLATION_COLS = ["partition", "check", "column", "repo", "path", "commit", "detail"]
+
+_KEY_COLS = ["repo", "path", "commit"]
+
+# suite-injected logical-partition column; violations keep it when present
+PARTITION_COL = "part_id"
+
+
+def _shape(df: DataFrame, check: str, column: str, detail: Column) -> DataFrame:
+    part = (
+        F.col(PARTITION_COL).cast("string")
+        if PARTITION_COL in df.columns
+        else F.lit(None).cast("string")
+    )
+    cols = []
+    for k in _KEY_COLS:
+        cols.append(
+            F.col(k).cast("string").alias(k)
+            if k in df.columns
+            else F.lit(None).cast("string").alias(k)
+        )
+    return df.select(
+        part.alias("partition"),
+        F.lit(check).alias("check"),
+        F.lit(column).alias("column"),
+        *cols,
+        detail.cast("string").alias("detail"),
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame, key_cols: Sequence[str] = ("repo", "path", "commit")
+) -> DataFrame:
+    """Keys appearing more than once. One shuffle on the key; emits one row per
+    duplicated key (with its multiplicity), not per duplicate row — at scale
+    the violation set stays proportional to the number of bad keys."""
+    keys = list(key_cols)
+    gcols = keys + ([PARTITION_COL] if PARTITION_COL in df.columns else [])
+    dup = (
+        df.groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return _shape(
+        dup,
+        "uniqueness",
+        ",".join(keys),
+        F.concat(F.lit("multiplicity="), F.col("n")),
+    )
+
+
+def referential_violations(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str = "commit",
+    dim_key: str = "commit",
+    broadcast_dim: bool | None = None,
+    broadcast_threshold_rows: int = 50_000_000,
+) -> DataFrame:
+    """Fact rows whose key is absent from the dim (LEFT ANTI).
+
+    ``broadcast_dim=None`` -> auto: broadcast the DISTINCT dim keys if the dim
+    is plausibly small (the distinct-key projection of even a large commit dim
+    is far smaller than the dim itself). With ``False``, a shuffled anti-join
+    is used and AQE's skew-join splitting covers skewed fact keys.
+    """
+    dim_keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    if broadcast_dim is True or broadcast_dim is None:
+        dim_keys = F.broadcast(dim_keys)
+    missing = facts.join(dim_keys, on=fact_key, how="left_anti")
+    return _shape(
+        missing,
+        "referential",
+        fact_key,
+        F.concat(F.lit("dangling "), F.col(fact_key)),
+    )
+
+
+def null_violations(df: DataFrame, column: str) -> DataFrame:
+    return _shape(
+        df.where(F.col(column).isNull()), "not_null", column, F.lit("null value")
+    )
+
+
+def not_empty_violations(df: DataFrame, column: str) -> DataFrame:
+    return _shape(
+        df.where(F.col(column).isNotNull() & (F.length(column) == 0)),
+        "not_empty",
+        column,
+        F.lit("empty value"),
+    )
+
+
+def range_violations(
+    df: DataFrame,
+    column: str,
+    min_value: float | None = None,
+    max_value: float | None = None,
+) -> DataFrame:
+    """Value-range constraint (generalizes schemas.py ge/le validators)."""
+    cond = F.lit(False)
+    if min_value is not None:
+        cond = cond | (F.col(column) < F.lit(min_value))
+    if max_value is not None:
+        cond = cond | (F.col(column) > F.lit(max_value))
+    return _shape(
+        df.where(F.col(column).isNotNull() & cond),
+        "range",
+        column,
+        F.concat(F.lit("value="), F.col(column).cast("string")),
+    )
+
+
+def regex_violations(df: DataFrame, column: str, pattern: str) -> DataFrame:
+    """Rows NOT matching the pattern (e.g. commit ~ ^[0-9a-f]{40}$)."""
+    return _shape(
+        df.where(
+            F.col(column).isNotNull() & ~F.col(column).rlike(pattern)
+        ),
+        "regex",
+        column,
+        F.concat(F.lit("value="), F.col(column).cast("string")),
+    )
+
+
+def zscore_violations(
+    df: DataFrame,
+    column: str,
+    mean: float,
+    std: float,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """|value - mean| / std > threshold, against FROZEN baseline stats
+    (reference: drift_detector.py:295-334 — z>3 warn, z>5 high severity)."""
+    if std <= 0:
+        return _shape(df.limit(0), "zscore", column, F.lit(""))
+    z = F.abs((F.col(column).cast("double") - F.lit(mean)) / F.lit(std))
+    sev = F.when(z > 5.0, F.lit("high")).otherwise(F.lit("medium"))
+    return _shape(
+        df.where(F.col(column).isNotNull() & (z > F.lit(threshold))),
+        "zscore",
+        column,
+        F.concat(F.lit("z="), F.round(z, 2), F.lit(" severity="), sev),
+    )
+
+
+def sha256_invariant_violations(
+    df: DataFrame, content_col: str = "content", sha_col: str = "content_sha256"
+) -> DataFrame:
+    """Per-row invariant: sha2(content,256) must equal the stored check column
+    at every stage (north_rule). Pure JVM expression — no Python hashing."""
+    return _shape(
+        df.where(
+            F.col(content_col).isNotNull()
+            & (F.sha2(F.col(content_col), 256) != F.col(sha_col))
+        ),
+        "sha256_invariant",
+        content_col,
+        F.concat(F.lit("expected="), F.col(sha_col)),
+    )
+
+
+def empty_violations(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "partition string, check string, column string, repo string, "
+        "path string, commit string, detail string",
+    )

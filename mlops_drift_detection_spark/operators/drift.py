@@ -1,0 +1,254 @@
+"""Distribution-drift checks: PSI + KS per (partition, feature) vs a baseline.
+
+Spark-first restructuring of the reference's ``detect_drift`` loop
+(drift_detector.py:236-293): instead of N per-feature pandas passes, the
+engine builds ONE plan per feature *kind* —
+
+  numerical:  bucket rows against frozen baseline edges (histogram.py) ->
+              groupBy(partition, bucket).count() -> dense count arrays ->
+              native psi_expr / ks_expr columns, plus current mean/std from
+              the same pass family.
+  categorical: groupBy(partition, value).count() over the frozen category
+              list -> dense arrays -> the same PSI/KS expressions, plus the
+              reference's proportion-difference test for binary-like columns
+              (drift_detector.py:203-225).
+
+Baseline count vectors are tiny literals (broadcast in the plan itself); the
+only full-data work is the scan + one shuffle keyed on (partition, bucket).
+PSI is always computed on MERGED histograms — never averaged across
+partitions (PSI does not decompose).
+
+Verdict rows mirror the reference's report fields: psi, drift_detected
+(psi >= 0.2), drift_severity ladder, baseline/current mean + std,
+mean_change_pct with the same NaN/zero guards (drift_detector.py:137-165).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.baseline import BaselineSnapshot
+from mlops_drift_detection_spark.operators.histogram import (
+    bucket_column,
+    categorical_counts,
+)
+from mlops_drift_detection_spark.operators.psi import (
+    PSI_ALARM_THRESHOLD,
+    ks_expr,
+    psi_expr,
+    psi_severity_expr,
+)
+
+VERDICT_SCHEMA = (
+    "partition string, feature string, kind string, psi double, ks double, "
+    "drift_detected boolean, drift_severity string, baseline_mean double, "
+    "current_mean double, mean_change_pct double, baseline_std double, "
+    "current_std double, n_samples long"
+)
+
+
+def _finalize(
+    grouped: DataFrame,
+    feature: str,
+    kind: str,
+    baseline_counts: list[float],
+    baseline_mean: float,
+    baseline_std: float,
+    psi_threshold: float,
+) -> DataFrame:
+    expected = F.array(*[F.lit(float(c)) for c in baseline_counts])
+    psi = psi_expr(expected, F.col("counts"))
+    ks = ks_expr(expected, F.col("counts"))
+    cur_mean = F.coalesce(F.nanvl(F.col("cur_mean"), F.lit(0.0)), F.lit(0.0))
+    cur_std = F.coalesce(F.nanvl(F.col("cur_std"), F.lit(0.0)), F.lit(0.0))
+    if baseline_mean != 0:
+        mcp = (cur_mean - F.lit(baseline_mean)) / F.lit(baseline_mean) * 100
+        mcp = F.when(F.isnan(mcp) | (F.abs(mcp) == float("inf")), 0.0).otherwise(mcp)
+    else:
+        mcp = F.lit(0.0)  # reference: drift_detector.py:151
+    return grouped.select(
+        F.col("partition").cast("string").alias("partition"),
+        F.lit(feature).alias("feature"),
+        F.lit(kind).alias("kind"),
+        F.round(psi, 4).alias("psi"),
+        F.round(ks, 4).alias("ks"),
+        (psi >= F.lit(psi_threshold)).alias("drift_detected"),
+        psi_severity_expr(psi).alias("drift_severity"),
+        F.round(F.lit(baseline_mean), 4).alias("baseline_mean"),
+        F.round(cur_mean, 4).alias("current_mean"),
+        F.round(mcp, 2).alias("mean_change_pct"),
+        F.round(F.lit(baseline_std), 4).alias("baseline_std"),
+        F.round(cur_std, 4).alias("current_std"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+def numerical_drift(
+    df: DataFrame,
+    value_col: str,
+    baseline: BaselineSnapshot,
+    feature: str | None = None,
+    partition_col: str | None = None,
+    strategy: str = "native",
+    psi_threshold: float = PSI_ALARM_THRESHOLD,
+) -> DataFrame:
+    """Per-partition numerical drift verdicts for one column.
+
+    One shuffle on (partition, bucket) with map-side combine; histogram and
+    moment aggregation share the same shuffle via a bucket+value projection.
+    """
+    feature = feature or value_col
+    nb = baseline.numerical[feature]
+    edges = nb.bins
+    n_bins = max(len(edges) - 1, 1)
+    part = (
+        F.col(partition_col).cast("string")
+        if partition_col
+        else F.lit("__all__")
+    )
+    projected = df.select(
+        part.alias("partition"),
+        F.col(value_col).cast("double").alias("__v"),
+        bucket_column(F.col(value_col).cast("double"), edges, strategy).alias("__b"),
+    )
+    per_bucket = projected.groupBy("partition", "__b").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.count("__v").alias("__cnt_val"),
+        F.sum("__v").alias("__sum"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__sum2"),
+    )
+    # merge buckets per partition: dense counts from in-range buckets only;
+    # moments over non-null values (pandas .mean()/.std() skip NaN —
+    # drift_detector.py:137-138); n_samples counts every row of the batch
+    # (len(production_data), drift_detector.py:284).
+    grouped = per_bucket.groupBy("partition").agg(
+        F.map_from_arrays(
+            F.collect_list(F.coalesce(F.col("__b"), F.lit(-1))),
+            F.collect_list("__cnt"),
+        ).alias("__m"),
+        F.sum("__cnt").alias("__n_all"),
+        F.sum("__cnt_val").alias("__n_val"),
+        F.sum("__sum").alias("__tsum"),
+        F.sum("__sum2").alias("__tsum2"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(F.col("__m")[i].cast("double"), F.lit(0.0)),
+    )
+    n = F.col("__n_val").cast("double")
+    mean = F.when(n > 0, F.col("__tsum") / n).otherwise(F.lit(0.0))
+    var = (F.col("__tsum2") - F.col("__tsum") * F.col("__tsum") / n) / (n - 1)
+    std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(0.0))
+    grouped = grouped.select(
+        "partition",
+        dense.alias("counts"),
+        mean.alias("cur_mean"),
+        std.alias("cur_std"),
+        F.col("__n_all").alias("n_samples"),
+    )
+    return _finalize(
+        grouped, feature, "numerical", nb.counts, nb.mean, nb.std, psi_threshold
+    )
+
+
+def categorical_drift(
+    df: DataFrame,
+    value_col: str,
+    baseline: BaselineSnapshot,
+    feature: str | None = None,
+    partition_col: str | None = None,
+    psi_threshold: float = PSI_ALARM_THRESHOLD,
+) -> DataFrame:
+    """Per-partition categorical drift: PSI/KS over the frozen category list.
+
+    mean/std fields carry the top-category proportion (the generalization of
+    the reference's binary ``proportion_positive``, drift_detector.py:197-215).
+    """
+    feature = feature or value_col
+    cb = baseline.categorical[feature]
+    part_cols = [partition_col] if partition_col else []
+    counts = categorical_counts(df, value_col, cb.categories, part_cols)
+    if partition_col:
+        counts = counts.withColumnRenamed(partition_col, "partition")
+    else:
+        counts = counts.withColumn("partition", F.lit("__all__"))
+    total = F.aggregate(F.col("counts"), F.lit(0.0), lambda a, x: a + x)
+    top_prop = F.when(total > 0, F.col("counts")[0] / total).otherwise(F.lit(0.0))
+    baseline_top_prop = cb.proportions[0] if cb.proportions else 0.0
+    grouped = counts.select(
+        "partition",
+        "counts",
+        top_prop.alias("cur_mean"),
+        F.lit(0.0).alias("cur_std"),
+        total.cast("long").alias("n_samples"),
+    )
+    return _finalize(
+        grouped, feature, "categorical", cb.counts, baseline_top_prop, 0.0,
+        psi_threshold,
+    )
+
+
+def proportion_drift(
+    df: DataFrame,
+    value_col: str,
+    baseline_proportion: float,
+    feature: str | None = None,
+    partition_col: str | None = None,
+    diff_threshold: float = 0.1,
+) -> DataFrame:
+    """The reference's exact binary proportion test (drift_detector.py:203-225):
+    drift iff |current_prop - baseline_prop| >= 0.1; severity >=0.2 high,
+    >=0.1 medium, else low. ``value_col`` must be 0/1-valued."""
+    feature = feature or value_col
+    part = (
+        F.col(partition_col).cast("string") if partition_col else F.lit("__all__")
+    )
+    agg = df.select(part.alias("partition"), F.col(value_col).cast("double").alias("v")).groupBy(
+        "partition"
+    ).agg(F.avg("v").alias("cur_prop"), F.count(F.lit(1)).alias("n_samples"))
+    diff = F.abs(F.col("cur_prop") - F.lit(baseline_proportion))
+    sev = (
+        F.when(diff >= 0.2, "high").when(diff >= 0.1, "medium").otherwise("low")
+    )
+    return agg.select(
+        F.col("partition").cast("string").alias("partition"),
+        F.lit(feature).alias("feature"),
+        F.lit("categorical_binary").alias("kind"),
+        F.round(diff, 4).alias("psi"),  # proportion_difference in psi slot
+        F.lit(None).cast("double").alias("ks"),
+        (diff >= F.lit(diff_threshold)).alias("drift_detected"),
+        sev.alias("drift_severity"),
+        F.round(F.lit(baseline_proportion), 4).alias("baseline_mean"),
+        F.round(F.col("cur_prop"), 4).alias("current_mean"),
+        F.lit(0.0).alias("mean_change_pct"),
+        F.lit(0.0).alias("baseline_std"),
+        F.lit(0.0).alias("current_std"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+def drift_summary(verdicts: DataFrame) -> DataFrame:
+    """Per-partition rollup with the reference's exact summary semantics
+    (drift_detector.py:277-293): drift %, overall flag, severity
+    (>30% high / >10% medium / else low)."""
+    agg = verdicts.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("total_features_checked"),
+        F.sum(F.col("drift_detected").cast("int")).alias("features_with_drift"),
+    )
+    pct = F.when(
+        F.col("total_features_checked") > 0,
+        F.col("features_with_drift") / F.col("total_features_checked") * 100,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "partition",
+        "total_features_checked",
+        "features_with_drift",
+        F.round(pct, 2).alias("drift_percentage"),
+        (F.col("features_with_drift") > 0).alias("overall_drift_detected"),
+        F.when(pct > 30, "high").when(pct > 10, "medium").otherwise("low").alias(
+            "severity"
+        ),
+    )

@@ -1,0 +1,83 @@
+"""Single-pass column statistics profiler.
+
+The north_star's per-partition column statistics — null rate, distinct count
+(``approx_count_distinct``/HLL), min/max, length quantiles
+(``percentile_approx``) — computed for ALL requested columns in ONE
+``groupBy(partition_cols).agg(...)`` pass. The reference loops features and
+materializes per-feature (drift_detector.py:257-271); here Catalyst compiles
+the whole profile into a single scan + partial/final aggregation, so cost is
+one pass over the data regardless of column count.
+
+Output is long-form: one row per (partition, column) with a stats struct —
+convenient to join against a baseline and to store as a metrics table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_QUANTILES = (0.25, 0.5, 0.75)
+
+
+def profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    partition_cols: Sequence[str] = (),
+    quantiles: Sequence[float] = DEFAULT_QUANTILES,
+    exact_quantiles: bool = False,
+    hll_rsd: float = 0.01,
+) -> DataFrame:
+    """Per-(partition, column) stats in one aggregate pass.
+
+    Numeric columns: mean/std/min/max/quantiles on the value itself.
+    String columns: min/max/quantiles on ``length(col)`` (the content-length
+    profile the north_star names); distinct counts via HLL on the raw value.
+    """
+    schema = dict(df.dtypes)
+    cols = list(columns) if columns is not None else [
+        c for c in df.columns if c not in partition_cols
+    ]
+    pcols = list(partition_cols)
+    qlist = ",".join(str(q) for q in quantiles)
+    pfunc = "percentile" if exact_quantiles else "percentile_approx"
+    acc = "" if exact_quantiles else ", 10000"
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        is_num = schema.get(c) in {
+            "bigint", "int", "smallint", "tinyint", "double", "float", "decimal"
+        } or schema.get(c, "").startswith("decimal")
+        val = f"`{c}`" if is_num else f"length(`{c}`)"
+        aggs += [
+            F.expr(f"sum(cast(`{c}` is null as int))").alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, rsd=hll_rsd).alias(f"{c}__distinct"),
+            F.expr(f"avg({val})").alias(f"{c}__mean"),
+            F.expr(f"stddev_samp({val})").alias(f"{c}__std"),
+            F.expr(f"min({val})").alias(f"{c}__min"),
+            F.expr(f"max({val})").alias(f"{c}__max"),
+            F.expr(f"{pfunc}({val}, array({qlist}){acc})").alias(f"{c}__qs"),
+        ]
+    wide = df.groupBy(*pcols).agg(*aggs)
+
+    # unpivot wide -> long with a stack-free stack: array of structs + explode
+    per_col_structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+            (F.col(f"{c}__nulls") / F.col("__n")).alias("null_rate"),
+            F.col(f"{c}__distinct").cast("long").alias("approx_distinct"),
+            F.col(f"{c}__mean").cast("double").alias("mean"),
+            F.col(f"{c}__std").cast("double").alias("std"),
+            F.col(f"{c}__min").cast("double").alias("min"),
+            F.col(f"{c}__max").cast("double").alias("max"),
+            F.col(f"{c}__qs").cast("array<double>").alias("quantiles"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        *pcols, F.explode(F.array(*per_col_structs)).alias("s")
+    ).select(*pcols, "s.*")

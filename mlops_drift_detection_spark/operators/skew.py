@@ -1,0 +1,74 @@
+"""Skew-handling helpers: salted two-phase aggregation.
+
+north_rule: "Salted repartitioning handles skewed mega-repos (a single repo
+dominating content rows)." For algebraic aggregates Spark's map-side partial
+aggregation already neutralizes key skew; salting matters when a single key's
+*reduce-side* state is heavy (high-cardinality collect, big per-key sort) or
+when repartitioning by a skewed key for downstream co-location. These helpers
+make the pattern explicit and testable:
+
+  phase 1: groupBy(key, salt) partial aggregate  (salt = hash(row) % S)
+  phase 2: groupBy(key) final merge
+
+The salt column is deterministic (derived from stable row columns, not
+rand()) so re-runs and resumes see identical partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(cols: Sequence[str], buckets: int) -> Column:
+    """Deterministic salt in [0, buckets) from the given columns."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    salt_cols: Sequence[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Generic two-phase salted aggregation.
+
+    ``partial_aggs``: name -> aggregate Column over raw rows (phase 1).
+    ``final_aggs``: name -> aggregate Column over phase-1 columns (phase 2).
+    """
+    keys = list(keys)
+    salted = df.withColumn("__salt", salt_column(salt_cols, salt_buckets))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[c.alias(n) for n, c in final_aggs.items()]
+    )
+
+
+def salted_count(
+    df: DataFrame, keys: Sequence[str], salt_cols: Sequence[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase count-by-key that survives a mega-key: ``keys..., n``."""
+    return salted_agg(
+        df,
+        keys,
+        {"__c": F.count(F.lit(1))},
+        {"n": F.sum("__c")},
+        salt_cols,
+        salt_buckets,
+    )
+
+
+def repartition_salted(
+    df: DataFrame, key: str, salt_cols: Sequence[str], salt_buckets: int, n_partitions: int
+) -> DataFrame:
+    """Repartition by (key, salt) so a mega-key spreads over ``salt_buckets``
+    tasks instead of hot-spotting one (SURVEY.md §4 skew row)."""
+    return df.repartition(
+        n_partitions, F.col(key), salt_column(salt_cols, salt_buckets)
+    )

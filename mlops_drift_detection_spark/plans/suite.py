@@ -1,0 +1,247 @@
+"""ValidationSuite: the full constraint + drift pass, one declarative plan.
+
+The engine's flagship entry point (north_rule): over a code-files table
+``(repo, path, commit, lang, content [, content_sha256])`` it runs
+
+  constraints: uniqueness(repo,path,commit), referential commit->dim,
+               not-null lang, not-empty content, content-length range,
+               commit-format regex, sha256 per-row invariant
+  drift:       PSI + KS on the lang mix and the content-length histogram
+               against a frozen BaselineSnapshot, per logical partition,
+               with the reference's thresholds/severity ladder
+
+and emits (violations DF, verdicts DF, per-partition summary DF), recording
+each completed partition wave in a CheckpointManifest so a killed run
+resumes without recomputing finished waves.
+
+Scale shape: every check is a Column-expression filter or a single
+partial-aggregated shuffle; the pass over N rows does O(1) full scans per
+wave (Spark reuses the cached wave slice across checks when it fits, and
+each check is independently pushdown/prune-friendly when it doesn't).
+Logical partitions default to ``pmod(xxhash64(repo), n_buckets)`` — stable,
+uniform-ish, and pruneable by predicate.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.baseline import BaselineSnapshot, compute_baseline
+from mlops_drift_detection_spark.operators import constraints as C
+from mlops_drift_detection_spark.operators.drift import (
+    categorical_drift,
+    drift_summary,
+    numerical_drift,
+)
+from mlops_drift_detection_spark.plans.manifest import (
+    CheckpointManifest,
+    PartitionEntry,
+)
+
+PART = C.PARTITION_COL
+CONTENT_LEN = "content_length"
+
+
+@dataclass
+class SuiteConfig:
+    key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    n_partition_buckets: int = 16
+    psi_threshold: float = 0.2
+    max_content_length: float = 10_000_000.0  # range rule on length(content)
+    commit_regex: str = "^[0-9a-f]{40}$"
+    binning_strategy: str = "native"  # or "arrow"
+    check_sha256: bool = True
+    checks: tuple[str, ...] = (
+        "uniqueness",
+        "referential",
+        "not_null_lang",
+        "not_empty_content",
+        "content_length_range",
+        "commit_format",
+        "sha256_invariant",
+    )
+
+
+@dataclass
+class SuiteResult:
+    violations: DataFrame
+    verdicts: DataFrame
+    summary: DataFrame
+    n_rows_validated: int = 0
+    skipped_partitions: list[str] = field(default_factory=list)
+
+
+class ValidationSuite:
+    def __init__(self, baseline: BaselineSnapshot, config: SuiteConfig | None = None):
+        self.baseline = baseline
+        self.config = config or SuiteConfig()
+
+    # ---------------------------------------------------------------- baseline
+    @staticmethod
+    def compute_baseline_snapshot(
+        df: DataFrame, exact_quantiles: bool = False
+    ) -> BaselineSnapshot:
+        """Baseline over the code table: numerical content_length + categorical
+        lang (the two drift features the north_star names)."""
+        prepared = df.select(
+            F.length("content").cast("double").alias(CONTENT_LEN),
+            "lang",
+        )
+        return compute_baseline(
+            prepared, [CONTENT_LEN], ["lang"], exact_quantiles=exact_quantiles
+        )
+
+    # ------------------------------------------------------------------- parts
+    def with_partition(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            PART,
+            F.pmod(F.xxhash64("repo"), F.lit(self.config.n_partition_buckets))
+            .cast("int")
+            .cast("string"),
+        )
+
+    # ------------------------------------------------------------- constraints
+    def violations(self, df: DataFrame, commits_dim: DataFrame | None) -> DataFrame:
+        cfg = self.config
+        checks: list[DataFrame] = []
+        on = lambda name: name in cfg.checks  # noqa: E731
+        if on("uniqueness"):
+            checks.append(C.uniqueness_violations(df, cfg.key_cols))
+        if on("referential") and commits_dim is not None:
+            checks.append(C.referential_violations(df, commits_dim))
+        if on("not_null_lang"):
+            checks.append(C.null_violations(df, "lang"))
+        if on("not_empty_content"):
+            checks.append(C.not_empty_violations(df, "content"))
+        if on("content_length_range"):
+            checks.append(
+                C.range_violations(
+                    df.withColumn(CONTENT_LEN, F.length("content")),
+                    CONTENT_LEN,
+                    min_value=1.0,
+                    max_value=cfg.max_content_length,
+                )
+            )
+        if on("commit_format"):
+            checks.append(C.regex_violations(df, "commit", cfg.commit_regex))
+        if (
+            on("sha256_invariant")
+            and cfg.check_sha256
+            and "content_sha256" in df.columns
+        ):
+            checks.append(C.sha256_invariant_violations(df))
+        if not checks:
+            return C.empty_violations(df.sparkSession)
+        return functools.reduce(lambda a, b: a.unionByName(b), checks)
+
+    # ------------------------------------------------------------------- drift
+    def drift_verdicts(self, df: DataFrame) -> DataFrame:
+        cfg = self.config
+        prepared = df.select(
+            PART, "lang", F.length("content").cast("double").alias(CONTENT_LEN)
+        )
+        num = numerical_drift(
+            prepared,
+            CONTENT_LEN,
+            self.baseline,
+            partition_col=PART,
+            strategy=cfg.binning_strategy,
+            psi_threshold=cfg.psi_threshold,
+        )
+        cat = categorical_drift(
+            prepared,
+            "lang",
+            self.baseline,
+            partition_col=PART,
+            psi_threshold=cfg.psi_threshold,
+        )
+        return num.unionByName(cat)
+
+    # --------------------------------------------------------------------- run
+    def run(
+        self,
+        df: DataFrame,
+        commits_dim: DataFrame | None = None,
+        manifest: CheckpointManifest | None = None,
+        resume: bool = False,
+        n_waves: int = 1,
+    ) -> SuiteResult:
+        """Full pass. With a manifest, partitions are processed in ``n_waves``
+        groups; each finished wave is checkpointed, and ``resume=True`` skips
+        lineage-compatible completed partitions entirely (their slice is
+        filtered out BEFORE the scan -> partition pruning does the skipping).
+        """
+        spark = df.sparkSession
+        dfp = self.with_partition(df)
+        all_parts = [
+            str(p) for p in range(self.config.n_partition_buckets)
+        ]
+        skipped: list[str] = []
+        if manifest is not None and resume:
+            skipped = [p for p in all_parts if manifest.is_complete(p)]
+        todo = [p for p in all_parts if p not in skipped]
+
+        violations_out: DataFrame | None = None
+        verdicts_out: DataFrame | None = None
+        n_rows_total = 0
+
+        waves = [
+            todo[i :: n_waves] for i in range(n_waves)
+        ] if n_waves > 1 else [todo]
+        waves = [w for w in waves if w]
+
+        for wave in waves:
+            slice_df = dfp.where(F.col(PART).isin(wave)).cache()
+            viol = self.violations(slice_df, commits_dim).cache()
+            verd = self.drift_verdicts(slice_df)
+            # materialize wave results
+            viol_count_by_part = {
+                r["partition"] or "__none__": r["n"]
+                for r in viol.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            rows_by_part = {
+                r[PART]: r["n"]
+                for r in slice_df.groupBy(PART).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            n_rows_total += sum(rows_by_part.values())
+            violations_out = (
+                viol if violations_out is None else violations_out.unionByName(viol)
+            )
+            verdicts_out = (
+                verd if verdicts_out is None else verdicts_out.unionByName(verd)
+            )
+            if manifest is not None:
+                for p in wave:
+                    manifest.mark_complete(
+                        PartitionEntry(
+                            partition=p,
+                            n_rows=int(rows_by_part.get(p, 0)),
+                            n_violations=int(viol_count_by_part.get(p, 0)),
+                            checks_run=list(self.config.checks),
+                            metrics={},
+                        )
+                    )
+            slice_df.unpersist()
+
+        if violations_out is None:
+            violations_out = C.empty_violations(spark)
+        if verdicts_out is None:
+            verdicts_out = spark.createDataFrame(
+                [],
+                "partition string, feature string, kind string, psi double, ks double,"
+                " drift_detected boolean, drift_severity string, baseline_mean double,"
+                " current_mean double, mean_change_pct double, baseline_std double,"
+                " current_std double, n_samples long",
+            )
+        summary = drift_summary(verdicts_out)
+        return SuiteResult(
+            violations=violations_out,
+            verdicts=verdicts_out,
+            summary=summary,
+            n_rows_validated=n_rows_total,
+            skipped_partitions=skipped,
+        )

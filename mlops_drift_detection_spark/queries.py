@@ -1,0 +1,676 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2, expressed over
+the driver-provided testdata tables (documents/events/lineitem/orders/...).
+Every aggregate/computed column is aliased identically in the Spark plan and
+the oracle SQL; floats are rounded on BOTH sides so the driver's value-hash
+comparison is stable across engines.
+
+The Spark side exercises the engine's own operators (histogram buckets, PSI
+kernel, profiler-style aggs) — not ad-hoc reimplementations — so the oracle
+checks gate the same code paths the validation suite runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.operators.histogram import bucket_expr_native
+from mlops_drift_detection_spark.operators.psi import psi_expr
+
+NCHAR_EDGES = [0.0, 100.0, 200.0, 300.0, 400.0, 600.0, 1000.0, 2000.0]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sql_bucket_case(col: str, edges: list[float]) -> str:
+    """DuckDB CASE chain with the same pd.cut semantics as bucket_expr_native."""
+    parts = [f"WHEN {col} IS NULL OR {col} < {edges[0]} OR {col} > {edges[-1]} THEN NULL"]
+    for i in range(len(edges) - 2):
+        parts.append(f"WHEN {col} <= {edges[i + 1]} THEN {i}")
+    parts.append(f"ELSE {len(edges) - 2}")
+    return "CASE " + " ".join(parts) + " END"
+
+
+# --------------------------------------------------------------------------
+# S/P/A operators: scans, stats, histograms
+# --------------------------------------------------------------------------
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-group column moments in one pass (baseline_calculator.py:62-70)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(F.stddev_samp("n_chars"), 4).alias("std_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_STATS_MOMENTS = """
+SELECT lang, count(*) AS n,
+       round(avg(n_chars), 4) AS mean_chars,
+       round(stddev_samp(n_chars), 4) AS std_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact quantiles (median/q25/q75), linear interpolation."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median"),
+            F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("q75"),
+        )
+    )
+
+
+SQL_STATS_QUANTILES = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.25), 4) AS q25,
+       round(quantile_cont(n_chars, 0.5), 4) AS median,
+       round(quantile_cont(n_chars, 0.75), 4) AS q75
+FROM documents GROUP BY lang
+"""
+
+
+def q_null_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/A4: null-rate + exact distinct counts per group (profiler shape)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").isNull().cast("int")).alias("n_null_value"),
+            F.round(F.avg(F.col("value").isNull().cast("int")), 6).alias("null_rate"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+    )
+
+
+SQL_NULL_DISTINCT_PROFILE = """
+SELECT event_type, count(*) AS n,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+       round(avg(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 6) AS null_rate,
+       count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_histogram_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: fixed-edge histogram via the engine's pd.cut-semantics bucketer."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            bucket_expr_native(F.col("n_chars").cast("double"), NCHAR_EDGES).alias("bin")
+        )
+        .where(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_HISTOGRAM_NCHARS = f"""
+SELECT bin, count(*) AS cnt FROM (
+  SELECT {_sql_bucket_case('n_chars', NCHAR_EDGES)} AS bin FROM documents
+) WHERE bin IS NOT NULL GROUP BY bin
+"""
+
+
+def q_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: group counts (value_counts)."""
+    return _t(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_GROUP_COUNTS = "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source"
+
+
+def q_mode_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: mode with deterministic tie-break (data_preprocessing.py:113-114)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+        .limit(1)
+    )
+
+
+SQL_MODE_LANG = """
+SELECT lang, count(*) AS n FROM documents GROUP BY lang
+ORDER BY n DESC, lang ASC LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Drift: PSI / KS / verdicts (A9, A10)
+# --------------------------------------------------------------------------
+
+def q_psi_lang_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: reference-exact PSI on the lang mix, even vs odd doc_id halves.
+    Uses the engine's native psi_expr over merged count arrays."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    e = docs.where(F.col("doc_id") % 2 == 0).groupBy("lang").agg(F.count(F.lit(1)).alias("ec"))
+    a = docs.where(F.col("doc_id") % 2 == 1).groupBy("lang").agg(F.count(F.lit(1)).alias("ac"))
+    j = e.join(a, "lang", "full_outer").select(
+        F.coalesce("ec", F.lit(0)).cast("double").alias("ec"),
+        F.coalesce("ac", F.lit(0)).cast("double").alias("ac"),
+    )
+    # collect_list order is nondeterministic — but PSI is order-invariant as
+    # long as e/a stay zipped, which collecting (ec, ac) structs ensures:
+    arrays = j.agg(
+        F.array_sort(F.collect_list(F.struct("ec", "ac"))).alias("z")
+    ).select(
+        F.transform("z", lambda s: s["ec"]).alias("e"),
+        F.transform("z", lambda s: s["ac"]).alias("a"),
+    )
+    return arrays.select(F.round(psi_expr(F.col("e"), F.col("a")), 6).alias("psi"))
+
+
+SQL_PSI_LANG_SPLIT = """
+WITH e AS (SELECT lang, count(*) AS ec FROM documents WHERE lang IS NOT NULL AND doc_id % 2 = 0 GROUP BY lang),
+     a AS (SELECT lang, count(*) AS ac FROM documents WHERE lang IS NOT NULL AND doc_id % 2 = 1 GROUP BY lang),
+     j AS (SELECT CAST(coalesce(e.ec, 0) AS DOUBLE) AS ec, CAST(coalesce(a.ac, 0) AS DOUBLE) AS ac
+           FROM e FULL OUTER JOIN a ON e.lang = a.lang),
+     t AS (SELECT sum(ec) AS se, sum(ac) AS sa FROM j),
+     p AS (SELECT CASE WHEN ec = 0 THEN 0.0001 ELSE ec / t.se END AS ep,
+                  CASE WHEN ac = 0 THEN 0.0001 ELSE ac / t.sa END AS ap
+           FROM j, t)
+SELECT round(sum((ap - ep) * ln(ap / ep)), 6) AS psi FROM p
+"""
+
+
+def q_psi_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 numerical: PSI on the fixed-edge n_chars histogram, even vs odd."""
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        bucket_expr_native(F.col("n_chars").cast("double"), NCHAR_EDGES).alias("bin"),
+    ).where(F.col("bin").isNotNull())
+    counts = docs.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("c"))
+    n_bins = len(NCHAR_EDGES) - 1
+    dense = counts.groupBy("half").agg(
+        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c")).alias("m")
+    ).select(
+        "half",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(F.col("m")[i].cast("double"), F.lit(0.0)),
+        ).alias("counts"),
+    )
+    e = dense.where(F.col("half") == 0).select(F.col("counts").alias("e"))
+    a = dense.where(F.col("half") == 1).select(F.col("counts").alias("a"))
+    return e.crossJoin(a).select(
+        F.round(psi_expr(F.col("e"), F.col("a")), 6).alias("psi")
+    )
+
+
+SQL_PSI_NCHARS_SPLIT = f"""
+WITH b AS (SELECT doc_id % 2 AS half, {_sql_bucket_case('n_chars', NCHAR_EDGES)} AS bin FROM documents),
+     g AS (SELECT half, bin, count(*) AS c FROM b WHERE bin IS NOT NULL GROUP BY half, bin),
+     bins AS (SELECT range AS bin FROM range({len(NCHAR_EDGES) - 1})),
+     e AS (SELECT bins.bin, CAST(coalesce(g.c, 0) AS DOUBLE) AS ec FROM bins LEFT JOIN g ON g.bin = bins.bin AND g.half = 0),
+     a AS (SELECT bins.bin, CAST(coalesce(g.c, 0) AS DOUBLE) AS ac FROM bins LEFT JOIN g ON g.bin = bins.bin AND g.half = 1),
+     j AS (SELECT e.ec, a.ac FROM e JOIN a ON e.bin = a.bin),
+     t AS (SELECT sum(ec) AS se, sum(ac) AS sa FROM j),
+     p AS (SELECT CASE WHEN ec = 0 THEN 0.0001 ELSE ec / t.se END AS ep,
+                  CASE WHEN ac = 0 THEN 0.0001 ELSE ac / t.sa END AS ap
+           FROM j, t)
+SELECT round(sum((ap - ep) * ln(ap / ep)), 6) AS psi FROM p
+"""
+
+
+def q_ks_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic, even vs odd doc_id (north_star)."""
+    from mlops_drift_detection_spark.operators.psi import ks_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        bucket_expr_native(F.col("n_chars").cast("double"), NCHAR_EDGES).alias("bin"),
+    ).where(F.col("bin").isNotNull())
+    counts = docs.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("c"))
+    n_bins = len(NCHAR_EDGES) - 1
+    dense = counts.groupBy("half").agg(
+        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c")).alias("m")
+    ).select(
+        "half",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(F.col("m")[i].cast("double"), F.lit(0.0)),
+        ).alias("counts"),
+    )
+    e = dense.where(F.col("half") == 0).select(F.col("counts").alias("e"))
+    a = dense.where(F.col("half") == 1).select(F.col("counts").alias("a"))
+    return e.crossJoin(a).select(
+        F.round(ks_expr(F.col("e"), F.col("a")), 6).alias("ks")
+    )
+
+
+SQL_KS_NCHARS_SPLIT = f"""
+WITH b AS (SELECT doc_id % 2 AS half, {_sql_bucket_case('n_chars', NCHAR_EDGES)} AS bin FROM documents),
+     g AS (SELECT half, bin, count(*) AS c FROM b WHERE bin IS NOT NULL GROUP BY half, bin),
+     bins AS (SELECT range AS bin FROM range({len(NCHAR_EDGES) - 1})),
+     d AS (SELECT bins.bin,
+                  CAST(coalesce(max(CASE WHEN g.half = 0 THEN g.c END), 0) AS DOUBLE) AS ec,
+                  CAST(coalesce(max(CASE WHEN g.half = 1 THEN g.c END), 0) AS DOUBLE) AS ac
+           FROM bins LEFT JOIN g ON g.bin = bins.bin GROUP BY bins.bin),
+     c AS (SELECT bin,
+                  sum(ec) OVER (ORDER BY bin) / (SELECT sum(ec) FROM d) AS ecdf,
+                  sum(ac) OVER (ORDER BY bin) / (SELECT sum(ac) FROM d) AS acdf
+           FROM d)
+SELECT round(max(abs(ecdf - acdf)), 6) AS ks FROM c
+"""
+
+
+def q_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 flagship: per-source drift verdicts on n_chars vs the even-half
+    baseline, with the reference thresholds/severity ladder."""
+    from mlops_drift_detection_spark.operators.psi import psi_severity_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        bucket_expr_native(F.col("n_chars").cast("double"), NCHAR_EDGES).alias("bin"),
+    ).where(F.col("bin").isNotNull())
+    n_bins = len(NCHAR_EDGES) - 1
+    baseline = docs.where(F.col("half") == 0).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(
+        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c")).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(F.col("m")[i].cast("double"), F.lit(0.0)),
+        ).alias("e")
+    )
+    per_source = docs.where(F.col("half") == 1).groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    ).groupBy("source").agg(
+        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c")).alias("m")
+    ).select(
+        "source",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(F.col("m")[i].cast("double"), F.lit(0.0)),
+        ).alias("a"),
+    )
+    psi = psi_expr(F.col("e"), F.col("a"))
+    return per_source.crossJoin(F.broadcast(baseline)).select(
+        "source",
+        F.round(psi, 4).alias("psi"),
+        (psi >= 0.2).alias("drift_detected"),
+        psi_severity_expr(psi).alias("drift_severity"),
+    )
+
+
+SQL_DRIFT_VERDICTS = f"""
+WITH b AS (SELECT source, doc_id % 2 AS half, {_sql_bucket_case('n_chars', NCHAR_EDGES)} AS bin FROM documents),
+     bins AS (SELECT range AS bin FROM range({len(NCHAR_EDGES) - 1})),
+     eg AS (SELECT bin, count(*) AS c FROM b WHERE bin IS NOT NULL AND half = 0 GROUP BY bin),
+     e AS (SELECT bins.bin, CAST(coalesce(eg.c, 0) AS DOUBLE) AS ec FROM bins LEFT JOIN eg USING (bin)),
+     srcs AS (SELECT DISTINCT source FROM b WHERE bin IS NOT NULL AND half = 1),
+     ag AS (SELECT source, bin, count(*) AS c FROM b WHERE bin IS NOT NULL AND half = 1 GROUP BY source, bin),
+     a AS (SELECT srcs.source, bins.bin, CAST(coalesce(ag.c, 0) AS DOUBLE) AS ac
+           FROM srcs CROSS JOIN bins LEFT JOIN ag ON ag.source = srcs.source AND ag.bin = bins.bin),
+     t AS (SELECT a.source, sum(a.ac) AS sa, (SELECT sum(ec) FROM e) AS se FROM a GROUP BY a.source),
+     p AS (SELECT a.source,
+                  CASE WHEN e.ec = 0 THEN 0.0001 ELSE e.ec / t.se END AS ep,
+                  CASE WHEN a.ac = 0 THEN 0.0001 ELSE a.ac / t.sa END AS ap
+           FROM a JOIN e USING (bin) JOIN t ON t.source = a.source),
+     s AS (SELECT source, sum((ap - ep) * ln(ap / ep)) AS raw_psi FROM p GROUP BY source)
+SELECT source, round(raw_psi, 4) AS psi,
+       raw_psi >= 0.2 AS drift_detected,
+       CASE WHEN raw_psi < 0.1 THEN 'low' WHEN raw_psi < 0.2 THEN 'medium' ELSE 'high' END AS drift_severity
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Constraints: uniqueness, referential, z-score, range
+# --------------------------------------------------------------------------
+
+def q_uniqueness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness check: duplicated (user_id, event_type) keys w/ multiplicity."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .where(F.col("multiplicity") > 1)
+    )
+
+
+SQL_UNIQUENESS_EVENTS = """
+SELECT user_id, event_type, count(*) AS multiplicity
+FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+"""
+
+
+def q_referential_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential check via LEFT ANTI join: orders with no lineitem child."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).distinct()
+    return orders.join(li, "o_orderkey", "left_anti").select("o_orderkey")
+
+
+SQL_REFERENTIAL_ORDERS = """
+SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: |value - mean|/std > 3 outliers (drift_detector.py:295-334)."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .where(F.col("value").isNotNull() & (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3))
+        .select("event_id", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events)
+SELECT event_id, round(value, 6) AS value FROM events, s
+WHERE value IS NOT NULL AND abs((value - mu) / sd) > 3
+"""
+
+
+def q_range_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range constraint rows (schemas.py ge/le validators generalized)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & ((F.col("value") < 0) | (F.col("value") > 500)))
+        .select("event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_RANGE_CHECK_EVENTS = """
+SELECT event_id, event_type, round(value, 6) AS value FROM events
+WHERE value IS NOT NULL AND (value < 0 OR value > 500)
+"""
+
+
+# --------------------------------------------------------------------------
+# Windows / sorts / time predicates / set ops
+# --------------------------------------------------------------------------
+
+def q_time_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/P8: last-24h lookback relative to max(ts) (main.py:271-275)."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("cutoff"))
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .where(F.col("ts") >= F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_TIME_WINDOW_COUNTS = """
+WITH c AS (SELECT max(ts) - INTERVAL 24 HOUR AS cutoff FROM events)
+SELECT event_type, count(*) AS n FROM events, c WHERE ts >= cutoff GROUP BY event_type
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: deterministic top-20 by totalprice (train.py:127-134 pattern)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def q_set_except_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1: set difference — langs seen in even half but not odd half
+    (compare_features.py:61-86 pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0).select("lang").distinct()
+    b = docs.where(F.col("doc_id") % 2 == 1).select("lang").distinct()
+    return a.exceptAll(b)
+
+
+SQL_SET_EXCEPT_LANGS = """
+SELECT DISTINCT lang FROM documents WHERE doc_id % 2 = 0
+EXCEPT
+SELECT DISTINCT lang FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def q_daily_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 streaming shape (batch form): tumbling 1-day windows per type."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.to_date(F.col("w.start")).alias("day"), "event_type", "n", "total_value"
+        )
+    )
+
+
+SQL_DAILY_EVENT_WINDOWS = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Derived columns / joins / scaling / impute (P3, F-ops, J-ops)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/F1/A8: derived-ratio aggregation (TPC-H Q1 shape) — revenue math."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J: 3-way join with broadcast dims — revenue per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_onehot_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/A7: one-hot encode lang -> per-source proportions (get_dummies with
+    a deterministic category set, preprocessing.py:60)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        *[
+            F.round(F.avg((F.col("lang") == c).cast("int")), 6).alias(f"prop_{c}")
+            for c in ["en", "de", "es", "fr", "zh"]
+        ]
+    )
+
+
+SQL_ONEHOT_PROPORTIONS = """
+SELECT source,
+       round(avg(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 6) AS prop_en,
+       round(avg(CASE WHEN lang = 'de' THEN 1 ELSE 0 END), 6) AS prop_de,
+       round(avg(CASE WHEN lang = 'es' THEN 1 ELSE 0 END), 6) AS prop_es,
+       round(avg(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END), 6) AS prop_fr,
+       round(avg(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END), 6) AS prop_zh
+FROM documents GROUP BY source
+"""
+
+
+def q_standardize_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: StandardScaler fit+transform as agg + projection
+    (data_preprocessing_no_indicators.py:159-187)."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.avg("n_chars").alias("mu"), F.stddev_samp("n_chars").alias("sd")
+    )
+    return (
+        docs.crossJoin(F.broadcast(stats))
+        .select("lang", ((F.col("n_chars") - F.col("mu")) / F.col("sd")).alias("z"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("z"), 6).alias("mean_z"),
+            F.round(F.max("z"), 6).alias("max_z"),
+        )
+    )
+
+
+SQL_STANDARDIZE_NCHARS = """
+WITH s AS (SELECT avg(n_chars) AS mu, stddev_samp(n_chars) AS sd FROM documents)
+SELECT lang, round(avg((n_chars - mu) / sd), 6) AS mean_z,
+       round(max((n_chars - mu) / sd), 6) AS max_z
+FROM documents, s GROUP BY lang
+"""
+
+
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/F11: median impute — values < 120 treated as missing, filled with
+    the median of the rest (data_preprocessing.py:91-94 pattern)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "v", F.when(F.col("n_chars") < 120, None).otherwise(F.col("n_chars").cast("double"))
+    )
+    med = docs.agg(F.expr("percentile(v, 0.5)").alias("med"))
+    return (
+        docs.crossJoin(F.broadcast(med))
+        .select("lang", F.coalesce("v", "med").alias("filled"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("filled"), 4).alias("mean_filled"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_IMPUTE_MEDIAN = """
+WITH d AS (SELECT lang, CASE WHEN n_chars < 120 THEN NULL ELSE CAST(n_chars AS DOUBLE) END AS v FROM documents),
+     m AS (SELECT quantile_cont(v, 0.5) AS med FROM d)
+SELECT lang, round(avg(coalesce(v, med)), 4) AS mean_filled, count(*) AS n
+FROM d, m GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stats_moments": q_stats_moments,
+    "stats_quantiles": q_stats_quantiles,
+    "null_distinct_profile": q_null_distinct_profile,
+    "histogram_nchars": q_histogram_nchars,
+    "group_counts": q_group_counts,
+    "mode_lang": q_mode_lang,
+    "psi_lang_split": q_psi_lang_split,
+    "psi_nchars_split": q_psi_nchars_split,
+    "ks_nchars_split": q_ks_nchars_split,
+    "drift_verdicts": q_drift_verdicts,
+    "uniqueness_events": q_uniqueness_events,
+    "referential_orders": q_referential_orders,
+    "zscore_outliers": q_zscore_outliers,
+    "range_check_events": q_range_check_events,
+    "time_window_counts": q_time_window_counts,
+    "topk_orders": q_topk_orders,
+    "set_except_langs": q_set_except_langs,
+    "daily_event_windows": q_daily_event_windows,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "onehot_proportions": q_onehot_proportions,
+    "standardize_nchars": q_standardize_nchars,
+    "impute_median": q_impute_median,
+}
+
+ORACLES: dict[str, str] = {
+    "stats_moments": SQL_STATS_MOMENTS,
+    "stats_quantiles": SQL_STATS_QUANTILES,
+    "null_distinct_profile": SQL_NULL_DISTINCT_PROFILE,
+    "histogram_nchars": SQL_HISTOGRAM_NCHARS,
+    "group_counts": SQL_GROUP_COUNTS,
+    "mode_lang": SQL_MODE_LANG,
+    "psi_lang_split": SQL_PSI_LANG_SPLIT,
+    "psi_nchars_split": SQL_PSI_NCHARS_SPLIT,
+    "ks_nchars_split": SQL_KS_NCHARS_SPLIT,
+    "drift_verdicts": SQL_DRIFT_VERDICTS,
+    "uniqueness_events": SQL_UNIQUENESS_EVENTS,
+    "referential_orders": SQL_REFERENTIAL_ORDERS,
+    "zscore_outliers": SQL_ZSCORE_OUTLIERS,
+    "range_check_events": SQL_RANGE_CHECK_EVENTS,
+    "time_window_counts": SQL_TIME_WINDOW_COUNTS,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "set_except_langs": SQL_SET_EXCEPT_LANGS,
+    "daily_event_windows": SQL_DAILY_EVENT_WINDOWS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "onehot_proportions": SQL_ONEHOT_PROPORTIONS,
+    "standardize_nchars": SQL_STANDARDIZE_NCHARS,
+    "impute_median": SQL_IMPUTE_MEDIAN,
+}

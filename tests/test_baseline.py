@@ -1,0 +1,110 @@
+"""Baseline snapshot vs the reference's pandas semantics
+(baseline_calculator.py:31-100: qcut edges w/ duplicates='drop', pd.cut
+counts, moments)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mlops_drift_detection_spark.baseline import (
+    BaselineSnapshot,
+    compute_baseline,
+    qcut_edges,
+)
+
+
+def reference_psi_bins(col_data: pd.Series):
+    """Verbatim reference logic (baseline_calculator.py:76-93) as oracle."""
+    col_data = col_data.dropna()
+    try:
+        bins = pd.qcut(col_data, q=10, duplicates="drop", retbins=True)[1]
+        counts = (
+            pd.cut(col_data, bins=bins, include_lowest=True)
+            .value_counts()
+            .sort_index()
+            .tolist()
+        )
+    except Exception:
+        bins = np.linspace(col_data.min(), col_data.max(), 11)
+        counts = (
+            pd.cut(col_data, bins=bins, include_lowest=True)
+            .value_counts()
+            .sort_index()
+            .tolist()
+        )
+    return bins.tolist(), counts
+
+
+@pytest.fixture(scope="module")
+def sample_pdf():
+    rng = np.random.RandomState(42)
+    return pd.DataFrame(
+        {
+            "x": rng.lognormal(5, 1, 4000),
+            "y": rng.randint(0, 3, 4000).astype(float),  # few distinct -> dup edges
+            "lang": rng.choice(["py", "go", "rs"], 4000, p=[0.6, 0.3, 0.1]),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def snap(spark, sample_pdf):
+    df = spark.createDataFrame(sample_pdf)
+    return compute_baseline(df, ["x", "y"], ["lang"], exact_quantiles=True)
+
+
+def test_moments_match_pandas(snap, sample_pdf):
+    nb = snap.numerical["x"]
+    s = sample_pdf["x"]
+    assert nb.mean == pytest.approx(s.mean(), rel=1e-9)
+    assert nb.std == pytest.approx(s.std(), rel=1e-9)  # pandas ddof=1 == stddev_samp
+    assert nb.min == pytest.approx(s.min())
+    assert nb.max == pytest.approx(s.max())
+    assert nb.median == pytest.approx(s.median(), rel=1e-9)
+    assert nb.q25 == pytest.approx(s.quantile(0.25), rel=1e-9)
+    assert nb.q75 == pytest.approx(s.quantile(0.75), rel=1e-9)
+
+
+def test_qcut_edges_match_reference(snap, sample_pdf):
+    want_bins, want_counts = reference_psi_bins(sample_pdf["x"])
+    nb = snap.numerical["x"]
+    np.testing.assert_allclose(nb.bins, want_bins, rtol=1e-9)
+    assert [int(c) for c in nb.counts] == [int(c) for c in want_counts]
+
+
+def test_duplicate_edge_drop(snap, sample_pdf):
+    """y has 3 distinct values -> qcut edges collapse; duplicates='drop'."""
+    want_bins, want_counts = reference_psi_bins(sample_pdf["y"])
+    nb = snap.numerical["y"]
+    np.testing.assert_allclose(nb.bins, want_bins, rtol=1e-9)
+    assert [int(c) for c in nb.counts] == [int(c) for c in want_counts]
+
+
+def test_constant_column_fallback(spark):
+    pdf = pd.DataFrame({"z": [7.0] * 100})
+    df = spark.createDataFrame(pdf)
+    snap = compute_baseline(df, ["z"], [], exact_quantiles=True)
+    nb = snap.numerical["z"]
+    assert len(nb.bins) >= 2 and sum(nb.counts) == 100
+
+
+def test_categorical_proportions(snap, sample_pdf):
+    cb = snap.categorical["lang"]
+    vc = sample_pdf["lang"].value_counts()
+    assert cb.categories[0] == vc.index[0]
+    assert cb.counts[0] == float(vc.iloc[0])
+    assert sum(cb.proportions) == pytest.approx(1.0)
+
+
+def test_snapshot_roundtrip(tmp_path, snap):
+    p = str(tmp_path / "baseline.json")
+    snap.save(p)
+    loaded = BaselineSnapshot.load(p)
+    assert loaded.to_dict() == snap.to_dict()
+
+
+def test_qcut_edges_unit():
+    assert qcut_edges([1.0, 1.0, 2.0, 2.0, 3.0], 1.0, 3.0) == [1.0, 2.0, 3.0]
+    # constant -> fallback still yields usable edges
+    e = qcut_edges([5.0] * 11, 5.0, 5.0)
+    assert len(e) >= 2

@@ -1,0 +1,107 @@
+"""Constraint checks: planted-violation exactness + rule unit behavior."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.datagen import (
+    CodeFilesSpec,
+    expected_violation_counts,
+    generate_code_files,
+    generate_commits,
+)
+from mlops_drift_detection_spark.operators import constraints as C
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    spec = CodeFilesSpec(n_rows=4_000, n_repos=40, n_commits=400)
+    cf = generate_code_files(spark, spec).cache()
+    cm = generate_commits(spark, spec).cache()
+    cf.count(), cm.count()
+    return spec, cf, cm
+
+
+def test_uniqueness_planted(fixture):
+    spec, cf, _ = fixture
+    exp = expected_violation_counts(spec)
+    v = C.uniqueness_violations(cf).collect()
+    assert len(v) == exp["duplicates"]
+    assert all(r["check"] == "uniqueness" and "multiplicity=2" in r["detail"] for r in v)
+
+
+def test_referential_planted_broadcast_and_shuffle(fixture):
+    spec, cf, cm = fixture
+    exp = expected_violation_counts(spec)
+    for bcast in (True, False):
+        v = C.referential_violations(cf, cm, broadcast_dim=bcast)
+        assert v.count() == exp["dangling"]
+
+
+def test_referential_plan_broadcasts(fixture):
+    _, cf, cm = fixture
+    plan = C.referential_violations(cf, cm, broadcast_dim=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_null_and_empty_planted(fixture):
+    spec, cf, _ = fixture
+    exp = expected_violation_counts(spec)
+    assert C.null_violations(cf, "lang").count() == exp["null_lang"]
+    assert C.not_empty_violations(cf, "content").count() == exp["null_lang"]
+
+
+def test_sha256_invariant(fixture, spark):
+    _, cf, _ = fixture
+    assert C.sha256_invariant_violations(cf).count() == 0
+    # corrupt one row -> exactly one violation
+    corrupted = cf.withColumn(
+        "content",
+        F.when(F.col("row_id") == 100, F.lit("tampered")).otherwise(F.col("content")),
+    )
+    v = C.sha256_invariant_violations(corrupted).collect()
+    assert len(v) == 1 and v[0]["check"] == "sha256_invariant"
+
+
+def test_range_and_regex(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "repo": ["r"] * 4,
+                "path": ["p"] * 4,
+                "commit": ["a" * 40, "B" * 40, "zzz", "b" * 40],
+                "n": [5.0, -1.0, 150.0, None],
+            }
+        )
+    )
+    rv = C.range_violations(df, "n", min_value=0.0, max_value=100.0).collect()
+    assert sorted(r["detail"] for r in rv) == ["value=-1.0", "value=150.0"]
+    xv = C.regex_violations(df, "commit", "^[0-9a-f]{40}$").collect()
+    assert len(xv) == 2  # uppercase + short
+
+
+def test_zscore_reference_semantics(spark):
+    # reference: drift_detector.py:295-334 — z>3 violation, z>5 high severity
+    df = spark.createDataFrame(
+        pd.DataFrame({"repo": ["r"] * 3, "path": ["p"] * 3, "commit": ["c"] * 3,
+                      "v": [0.0, 4.0, 6.0]})
+    )
+    v = C.zscore_violations(df, "v", mean=0.0, std=1.0).collect()
+    assert len(v) == 2
+    details = {r["detail"] for r in v}
+    assert any("severity=medium" in d for d in details)
+    assert any("severity=high" in d for d in details)
+    # zero std -> no violations (guard, drift_detector.py:319)
+    assert C.zscore_violations(df, "v", mean=0.0, std=0.0).count() == 0
+
+
+def test_violation_shape_uniform(fixture, spark):
+    _, cf, cm = fixture
+    dfs = [
+        C.uniqueness_violations(cf),
+        C.referential_violations(cf, cm),
+        C.null_violations(cf, "lang"),
+        C.empty_violations(spark),
+    ]
+    for d in dfs:
+        assert d.columns == C.VIOLATION_COLS

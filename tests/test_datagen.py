@@ -1,0 +1,108 @@
+"""Datagen determinism + planted-violation exactness (FIXTURES.md contract)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.datagen import (
+    CodeFilesSpec,
+    expected_violation_counts,
+    generate_code_files,
+    generate_commits,
+)
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return CodeFilesSpec(n_rows=5_000, n_repos=50, n_commits=500)
+
+
+@pytest.fixture(scope="module")
+def code_files(spark, spec):
+    df = generate_code_files(spark, spec)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def commits(spark, spec):
+    df = generate_commits(spark, spec)
+    df.cache().count()
+    return df
+
+
+def test_schema(code_files):
+    assert set(code_files.columns) == {
+        "repo", "path", "commit", "lang", "content", "content_sha256", "row_id"
+    }
+
+
+def test_row_count_includes_planted_dups(code_files, spec):
+    exp = expected_violation_counts(spec)
+    assert code_files.count() == spec.n_rows + exp["duplicates"]
+
+
+def test_determinism(spark, spec, code_files):
+    again = generate_code_files(spark, spec)
+    a = code_files.orderBy("row_id", "repo").select("repo", "path", "commit", "content_sha256")
+    b = again.orderBy("row_id", "repo").select("repo", "path", "commit", "content_sha256")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_planted_duplicates_exact(code_files, spec):
+    exp = expected_violation_counts(spec)
+    dup_groups = (
+        code_files.groupBy("repo", "path", "commit")
+        .count()
+        .where(F.col("count") > 1)
+    )
+    assert dup_groups.count() == exp["duplicates"]
+    assert dup_groups.agg(F.max("count")).collect()[0][0] == 2
+
+
+def test_planted_dangling_exact(code_files, commits, spec):
+    exp = expected_violation_counts(spec)
+    dangling = code_files.join(
+        commits.select("commit").distinct(), "commit", "left_anti"
+    )
+    assert dangling.count() == exp["dangling"]
+
+
+def test_planted_nulls_exact(code_files, spec):
+    exp = expected_violation_counts(spec)
+    assert code_files.where(F.col("lang").isNull()).count() == exp["null_lang"]
+    assert code_files.where(F.length("content") == 0).count() == exp["null_lang"]
+
+
+def test_mega_repo_skew(code_files, spec):
+    top = (
+        code_files.groupBy("repo").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top["repo"] == "repo_00000"
+    assert top["count"] > 0.25 * spec.n_rows  # ~30% planted share
+
+
+def test_sha256_invariant_holds(code_files):
+    bad = code_files.where(
+        F.sha2(F.col("content"), 256) != F.col("content_sha256")
+    ).count()
+    assert bad == 0
+
+
+def test_commit_dim_unique(commits, spec):
+    assert commits.count() == spec.n_commits
+    assert commits.select("commit").distinct().count() == spec.n_commits
+    assert commits.where(~F.col("commit").rlike("^[0-9a-f]{40}$")).count() == 0
+
+
+def test_drifted_batch_shifts_lang_mix(spark, spec, code_files):
+    drifted = generate_code_files(
+        spark, CodeFilesSpec(n_rows=spec.n_rows, n_repos=spec.n_repos,
+                             n_commits=spec.n_commits, drifted=True)
+    )
+    base_py = code_files.where(F.col("lang") == "python").count() / spec.n_rows
+    drift_py = drifted.where(F.col("lang") == "python").count() / spec.n_rows
+    assert base_py > 0.25 and drift_py < 0.10
+    # content lengths shift up
+    base_len = code_files.agg(F.avg(F.length("content"))).collect()[0][0]
+    drift_len = drifted.agg(F.avg(F.length("content"))).collect()[0][0]
+    assert drift_len > 1.5 * base_len

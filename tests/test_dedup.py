@@ -1,0 +1,88 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.functions import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),                                        # exact dup of 0
+        (2, base.replace("today", "tomorrow")),           # near dup of 0
+        (3, "completely different content about spark shuffle partitions and joins here"),
+        (4, "completely different content about spark shuffle partitions and joins here"),  # exact dup of 3
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs, "text", "id").collect()
+    got = sorted(tuple(g["ids"]) for g in groups)
+    assert got == [(0, 1), (3, 4)]
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r["id"] for r in D.dedup_exact(docs, "text", "id").collect())
+    assert kept == [0, 2, 3, 5]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d e",)], "t string")
+    got = df.select(D.shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert got == ["a b c", "b c d", "c d e"]
+    short = spark.createDataFrame([("a b",)], "t string")
+    got2 = short.select(D.shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert got2 == ["a b"]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(
+            docs, "text", "id", num_hashes=32, bands=16, shingle_k=3
+        ).collect()
+    }
+    assert (0, 1) in pairs          # identical
+    assert (3, 4) in pairs          # identical
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup collides in >=1 band
+    assert (0, 5) not in pairs and (3, 5) not in pairs
+
+
+def test_ngram_jaccard_verification(docs, spark):
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 5)], "id_a long, id_b long"
+    )
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard(docs, cand, "text", "id", n=3).collect()
+    }
+    assert j[(0, 1)] == 1.0
+    assert 0.5 < j[(0, 2)] < 1.0
+    assert j[(0, 5)] == 0.0
+
+
+def test_simhash_near_dups(docs):
+    sim = D.simhash64(docs, "text", "id").cache()
+    vals = {r["id"]: r["simhash"] for r in sim.collect()}
+    assert vals[0] == vals[1]  # identical text -> identical simhash
+    d02 = bin(vals[0] ^ vals[2]).count("1")
+    d05 = bin(vals[0] ^ vals[5]).count("1")
+    assert d02 < d05  # near dup closer in Hamming space
+    ham = docs.sparkSession.createDataFrame(
+        [(vals[0], vals[2])], "a long, b long"
+    ).select(D.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"]
+    assert ham == d02
+
+
+def test_simhash_candidates(docs):
+    sim = D.simhash64(docs, "text", "id")
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in D.simhash_candidates(sim, prefix_bits=12).collect()
+    }
+    assert (0, 1) in pairs and (3, 4) in pairs

@@ -1,0 +1,155 @@
+"""Drift verdicts vs a verbatim-reference pandas oracle, plus the
+normal-vs-drifted behavioral contract (test_drift_detection.py pattern)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.baseline import compute_baseline
+from mlops_drift_detection_spark.operators.drift import (
+    categorical_drift,
+    drift_summary,
+    numerical_drift,
+    proportion_drift,
+)
+
+RNG = np.random.RandomState(42)
+
+
+def reference_numerical_drift(baseline_bins, baseline_counts, baseline_mean,
+                              baseline_std, production: pd.Series):
+    """Verbatim reference logic (drift_detector.py:87-166) as oracle."""
+    binned = pd.cut(production.dropna(), bins=baseline_bins, include_lowest=True)
+    actual = binned.value_counts().sort_index().values
+    if len(actual) < len(baseline_counts):
+        full = np.zeros(len(baseline_counts))
+        full[: len(actual)] = actual
+        actual = full
+    expected = np.array(baseline_counts, dtype=float)
+    a = np.array(actual, dtype=float)
+    if a.sum() == 0 or expected.sum() == 0:
+        psi = 0.0
+    else:
+        ep = expected / expected.sum()
+        ap = a / a.sum()
+        ep = np.where(ep == 0, 1e-4, ep)
+        ap = np.where(ap == 0, 1e-4, ap)
+        psi = float(np.sum((ap - ep) * np.log(ap / ep)))
+        if np.isnan(psi) or np.isinf(psi):
+            psi = 0.0
+    cur_mean = float(production.mean())
+    cur_std = float(production.std())
+    if np.isnan(cur_mean):
+        cur_mean = 0.0
+    if np.isnan(cur_std):
+        cur_std = 0.0
+    mcp = ((cur_mean - baseline_mean) / baseline_mean * 100) if baseline_mean != 0 else 0
+    if np.isnan(mcp) or np.isinf(mcp):
+        mcp = 0.0
+    sev = "low" if psi < 0.1 else "medium" if psi < 0.2 else "high"
+    return {
+        "psi": round(psi, 4),
+        "drift_detected": psi >= 0.2,
+        "drift_severity": sev,
+        "current_mean": round(cur_mean, 4),
+        "current_std": round(cur_std, 4),
+        "mean_change_pct": round(mcp, 2),
+    }
+
+
+@pytest.fixture(scope="module")
+def baseline_and_data(spark):
+    base_pdf = pd.DataFrame({"v": RNG.lognormal(5, 0.8, 5000)})
+    df = spark.createDataFrame(base_pdf)
+    snap = compute_baseline(df, ["v"], [], exact_quantiles=True)
+    return snap, base_pdf
+
+
+@pytest.mark.parametrize("strategy", ["native", "arrow"])
+@pytest.mark.parametrize(
+    "shift", [lambda s: s, lambda s: s * 3.0, lambda s: s + 200.0]
+)
+def test_numerical_matches_reference(spark, baseline_and_data, strategy, shift):
+    snap, base_pdf = baseline_and_data
+    prod = shift(pd.Series(RNG.lognormal(5, 0.8, 2000)))
+    nb = snap.numerical["v"]
+    want = reference_numerical_drift(nb.bins, nb.counts, nb.mean, nb.std, prod)
+    df = spark.createDataFrame(prod.to_frame("v"))
+    got = numerical_drift(df, "v", snap, strategy=strategy).collect()[0].asDict()
+    assert got["psi"] == pytest.approx(want["psi"], abs=2e-4)
+    assert got["drift_detected"] == want["drift_detected"]
+    assert got["drift_severity"] == want["drift_severity"]
+    assert got["current_mean"] == pytest.approx(want["current_mean"], abs=1e-3)
+    assert got["current_std"] == pytest.approx(want["current_std"], abs=1e-3)
+    assert got["mean_change_pct"] == pytest.approx(want["mean_change_pct"], abs=0.02)
+
+
+def test_normal_batch_no_alarm(spark, baseline_and_data):
+    snap, _ = baseline_and_data
+    prod = pd.Series(RNG.lognormal(5, 0.8, 3000))
+    df = spark.createDataFrame(prod.to_frame("v"))
+    row = numerical_drift(df, "v", snap).collect()[0]
+    assert not row["drift_detected"] and row["psi"] < 0.1
+
+
+def test_shifted_batch_alarms(spark, baseline_and_data):
+    snap, _ = baseline_and_data
+    prod = pd.Series(RNG.lognormal(5.9, 0.8, 3000))  # big location shift
+    df = spark.createDataFrame(prod.to_frame("v"))
+    row = numerical_drift(df, "v", snap).collect()[0]
+    assert row["drift_detected"] and row["psi"] >= 0.2
+    assert row["drift_severity"] == "high"
+    assert row["ks"] > 0.2
+
+
+def test_categorical_drift_alarm(spark):
+    base = pd.DataFrame({"lang": ["py"] * 600 + ["go"] * 300 + ["rs"] * 100})
+    cur = pd.DataFrame({"lang": ["py"] * 100 + ["go"] * 300 + ["rs"] * 600})
+    snap = compute_baseline(spark.createDataFrame(base), [], ["lang"])
+    same = categorical_drift(spark.createDataFrame(base), "lang", snap).collect()[0]
+    assert same["psi"] == 0.0 and not same["drift_detected"]
+    moved = categorical_drift(spark.createDataFrame(cur), "lang", snap).collect()[0]
+    assert moved["drift_detected"] and moved["psi"] >= 0.2
+
+
+def test_proportion_drift_reference_thresholds(spark):
+    # reference: drift_detector.py:203-225 — diff >= .1 drift, >= .2 high
+    df = spark.createDataFrame(pd.DataFrame({"b": [1] * 35 + [0] * 65}))
+    r = proportion_drift(df, "b", baseline_proportion=0.50).collect()[0]
+    assert r["drift_detected"] and r["drift_severity"] == "medium"
+    assert r["psi"] == pytest.approx(0.15)
+    df2 = spark.createDataFrame(pd.DataFrame({"b": [1] * 5 + [0] * 95}))
+    r2 = proportion_drift(df2, "b", baseline_proportion=0.50).collect()[0]
+    assert r2["drift_severity"] == "high"
+    df3 = spark.createDataFrame(pd.DataFrame({"b": [1] * 45 + [0] * 55}))
+    r3 = proportion_drift(df3, "b", baseline_proportion=0.50).collect()[0]
+    assert not r3["drift_detected"] and r3["drift_severity"] == "low"
+
+
+def test_partitioned_verdicts_and_summary(spark, baseline_and_data):
+    snap, _ = baseline_and_data
+    normal = pd.DataFrame({"p": "a", "v": RNG.lognormal(5, 0.8, 2000)})
+    shifted = pd.DataFrame({"p": "b", "v": RNG.lognormal(6.2, 0.8, 2000)})
+    df = spark.createDataFrame(pd.concat([normal, shifted]))
+    verd = numerical_drift(df, "v", snap, partition_col="p")
+    rows = {r["partition"]: r for r in verd.collect()}
+    assert not rows["a"]["drift_detected"]
+    assert rows["b"]["drift_detected"]
+    summ = {r["partition"]: r for r in drift_summary(verd).collect()}
+    # reference summary semantics (drift_detector.py:277-293)
+    assert summ["a"]["severity"] == "low" and not summ["a"]["overall_drift_detected"]
+    assert summ["b"]["severity"] == "high" and summ["b"]["overall_drift_detected"]
+    assert summ["b"]["drift_percentage"] == 100.0
+
+
+def test_psi_merged_not_averaged(spark, baseline_and_data):
+    """PSI must come from merged histograms: physical partitioning of the
+    input must not change the verdict (SURVEY.md §7 hard part)."""
+    snap, _ = baseline_and_data
+    prod = pd.DataFrame({"v": RNG.lognormal(5.5, 0.8, 4000)})
+    d1 = spark.createDataFrame(prod).repartition(1)
+    d2 = spark.createDataFrame(prod).repartition(17)
+    p1 = numerical_drift(d1, "v", snap).collect()[0]["psi"]
+    p2 = numerical_drift(d2, "v", snap).collect()[0]["psi"]
+    assert p1 == p2

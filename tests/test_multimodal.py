@@ -1,0 +1,62 @@
+"""Multimodal plumbing: schema, Arrow batch path, stub gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.functions import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = M.synth_media(spark, n=30).cache()
+    df.count()
+    return df
+
+
+def test_media_schema(media):
+    assert media.schema == M.MEDIA_SCHEMA or set(media.columns) == {
+        f.name for f in M.MEDIA_SCHEMA.fields
+    }
+
+
+def test_extract_features_fake(media):
+    feats = M.extract_features(media, decode_mode="fake", feature_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0
+    # deterministic across runs
+    again = {r["media_id"]: list(r["feature"]) for r in M.extract_features(media, "fake", 16).collect()}
+    first = {r["media_id"]: list(r["feature"]) for r in rows}
+    assert again == first
+
+
+def test_extract_features_real_is_stubbed(media):
+    with pytest.raises(Exception) as ei:
+        M.extract_features(media, decode_mode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_resize_spec(media):
+    rows = M.resize_spec(media, max_side=128).collect()
+    for r in rows:
+        if r["kind"] == "image":
+            assert 0 < r["out_width"] <= 128 and 0 < r["out_height"] <= 128
+        else:
+            assert r["scale"] == 1.0
+
+
+def test_frame_sample_plan(media):
+    plan = M.frame_sample_plan(media, every_ms=5000)
+    rows = plan.where(F.col("kind") != "image").collect()
+    assert all(r["frame_ts_ms"] is None or r["frame_ts_ms"] % 5000 == 0 for r in rows)
+    counts = (
+        plan.where(F.col("frame_ts_ms").isNotNull())
+        .groupBy("media_id")
+        .count()
+        .collect()
+    )
+    assert len(counts) > 0

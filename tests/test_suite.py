@@ -1,0 +1,123 @@
+"""End-to-end ValidationSuite: full pass, checkpoint manifest, kill + resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.datagen import (
+    CodeFilesSpec,
+    expected_violation_counts,
+    generate_code_files,
+    generate_commits,
+)
+from mlops_drift_detection_spark.plans.manifest import CheckpointManifest
+from mlops_drift_detection_spark.plans.suite import SuiteConfig, ValidationSuite
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    spec = CodeFilesSpec(n_rows=4_000, n_repos=40, n_commits=400)
+    cf = generate_code_files(spark, spec).cache()
+    cm = generate_commits(spark, spec).cache()
+    cf.count(), cm.count()
+    baseline = ValidationSuite.compute_baseline_snapshot(cf, exact_quantiles=True)
+    return spec, cf, cm, baseline
+
+
+def test_full_pass_counts(data, spark):
+    spec, cf, cm, baseline = data
+    suite = ValidationSuite(baseline, SuiteConfig(n_partition_buckets=8))
+    res = suite.run(cf, cm)
+    exp = expected_violation_counts(spec)
+    by_check = {
+        r["check"]: r["n"]
+        for r in res.violations.groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_check.get("uniqueness", 0) == exp["duplicates"]
+    assert by_check.get("referential", 0) == exp["dangling"]
+    assert by_check.get("not_null", 0) == exp["null_lang"]
+    assert by_check.get("not_empty", 0) == exp["null_lang"]
+    # empty content also violates min-length range rule
+    assert by_check.get("range", 0) == exp["null_lang"]
+    assert by_check.get("sha256_invariant", 0) == 0
+    assert res.n_rows_validated == spec.n_rows + exp["duplicates"]
+
+
+def test_self_drift_is_none(data):
+    """Validating the baseline's own data must not alarm."""
+    _, cf, cm, baseline = data
+    suite = ValidationSuite(baseline, SuiteConfig(n_partition_buckets=4))
+    res = suite.run(cf, cm)
+    rows = res.verdicts.collect()
+    assert rows and all(not r["drift_detected"] for r in rows)
+    assert all(r["severity"] == "low" for r in res.summary.collect())
+
+
+def test_drifted_batch_alarms(data, spark):
+    spec, _, cm, baseline = data
+    drifted = generate_code_files(
+        spark,
+        CodeFilesSpec(n_rows=spec.n_rows, n_repos=spec.n_repos,
+                      n_commits=spec.n_commits, drifted=True),
+    )
+    suite = ValidationSuite(baseline, SuiteConfig(n_partition_buckets=4))
+    res = suite.run(drifted, cm)
+    verd = {(r["partition"], r["feature"]): r for r in res.verdicts.collect()}
+    # every partition must alarm on both features (lang mix + content length)
+    for (part, feat), r in verd.items():
+        assert r["drift_detected"], (part, feat, r["psi"])
+        assert r["drift_severity"] == "high"
+    assert all(r["severity"] == "high" for r in res.summary.collect())
+
+
+class _KilledAfter(CheckpointManifest):
+    """Simulates a crash: dies after N partition commits."""
+
+    def __init__(self, directory, lineage=None, die_after=3):
+        super().__init__(directory, lineage)
+        self._left = die_after
+
+    def mark_complete(self, entry):
+        if self._left <= 0:
+            raise KeyboardInterrupt("simulated kill")
+        self._left -= 1
+        super().mark_complete(entry)
+
+
+def test_kill_and_resume(data, tmp_path):
+    spec, cf, cm, baseline = data
+    cfg = SuiteConfig(n_partition_buckets=8)
+    suite = ValidationSuite(baseline, cfg)
+    mdir = str(tmp_path / "manifest")
+    lineage = {"input": "fixture-v1", "baseline": "b1"}
+
+    killed = _KilledAfter(mdir, lineage, die_after=3)
+    with pytest.raises(KeyboardInterrupt):
+        suite.run(cf, cm, manifest=killed, n_waves=8)
+    done_entries = killed.completed_partitions()
+    done_before = {p.partition for p in done_entries}
+    rows_done_before = sum(p.n_rows for p in done_entries)
+    assert len(done_before) == 3
+
+    # resume: completed partitions skipped, run finishes, totals correct
+    m2 = CheckpointManifest(mdir, lineage)
+    res = suite.run(cf, cm, manifest=m2, resume=True, n_waves=8)
+    assert set(res.skipped_partitions) == done_before
+    totals = m2.totals()
+    assert totals["partitions"] == cfg.n_partition_buckets
+    exp = expected_violation_counts(spec)
+    full_rows = spec.n_rows + exp["duplicates"]
+    assert totals["rows"] == full_rows
+    # resumed run only validated the remaining rows (no recomputation)
+    assert res.n_rows_validated == full_rows - rows_done_before
+
+
+def test_resume_refuses_stale_lineage(data, tmp_path):
+    _, cf, cm, baseline = data
+    mdir = str(tmp_path / "manifest2")
+    suite = ValidationSuite(baseline, SuiteConfig(n_partition_buckets=4))
+    m1 = CheckpointManifest(mdir, {"input": "v1"})
+    suite.run(cf, cm, manifest=m1)
+    # lineage changed -> nothing may be skipped
+    m2 = CheckpointManifest(mdir, {"input": "v2-CHANGED"})
+    res = suite.run(cf, cm, manifest=m2, resume=True)
+    assert res.skipped_partitions == []

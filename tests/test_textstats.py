@@ -1,0 +1,68 @@
+"""Text analysis Column exprs: token counts, quality, lang-id, fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.functions import textstats as T
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (0, "the cat and the dog sat in the yard for hours"),          # en
+        (1, "der hund und die katze ist nicht da und der vogel"),      # de
+        (2, "el perro y la casa de los gatos en la calle"),            # es
+        (3, "xyzzy qwerty asdf"),                                      # und
+        (4, ""),                                                       # empty
+        (5, "  spaced   out   tokens  "),
+    ]
+    return spark.createDataFrame(rows, "id long, text string").cache()
+
+
+def test_token_count(df):
+    got = {r["id"]: r["n"] for r in df.select("id", T.token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == 11
+    assert got[4] == 0
+    assert got[5] == 3
+
+
+def test_stopword_ratio_and_quality(df):
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            T.stopword_ratio(F.col("text")).alias("sr"),
+            T.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[0]["sr"] > 0.2          # 'the' x3 + 'and' + 'in' + 'for' / 11
+    assert rows[3]["sr"] == 0.0
+    assert 0.0 <= rows[3]["q"] < rows[0]["q"] <= 1.0
+
+
+def test_language_id(df):
+    got = {r["id"]: r["l"] for r in df.select("id", T.language_id(F.col("text")).alias("l")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_fingerprints(df, spark):
+    fp = {r["id"]: r["f"] for r in df.select("id", T.doc_fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[0] != fp[1] and len(fp[0]) == 32
+    same = spark.createDataFrame([(0, "  THE cat and the dog sat in the yard for hours ")], "id long, text string")
+    fp_same = same.select(T.doc_fingerprint(F.col("text")).alias("f")).collect()[0]["f"]
+    assert fp_same == fp[0]  # case/trim-insensitive
+
+
+def test_rolling_fingerprint_stability(df):
+    a = df.where("id = 0").select(T.rolling_fingerprint(F.col("text"), k=3, keep=2).alias("f")).collect()[0]["f"]
+    b = df.where("id = 0").select(T.rolling_fingerprint(F.col("text"), k=3, keep=2).alias("f")).collect()[0]["f"]
+    assert a == b and "-" in a
+
+
+def test_text_profile(df):
+    prof = T.text_profile(df.withColumn("g", F.lit("all")), "text", ["g"]).collect()[0]
+    assert prof["n_docs"] == 6
+    assert prof["avg_tokens"] > 0

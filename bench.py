@@ -33,6 +33,10 @@ HEADLINE = [
     "pricing_summary",
     "segment_revenue",
     "daily_event_windows",
+    "dedup_fingerprint_groups",
+    "minhash_lsh_jaccard",
+    "cosine_topk",
+    "text_quality_profile",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

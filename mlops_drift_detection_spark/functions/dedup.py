@@ -63,12 +63,15 @@ def shingles(col: Column, k: int = 5) -> Column:
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """K minhash values per row, all JVM-side: for seed s, min over shingles of
-    xxhash64(shingle, s). array<bigint> length K."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(s))))
-            for s in range(num_hashes)
-        ]
+    xxhash64(shingle, s). array<bigint> length K.
+
+    Implemented as ONE nested higher-order transform over a seed sequence —
+    not K separate array_min expressions — so the generated code stays small
+    (K unrolled lambdas blow up codegen compile time ~50x for K=64)."""
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(shingle_col, lambda sh: F.xxhash64(sh, s))),
     )
 
 
@@ -91,28 +94,30 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("id"),
         minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
     )
+    # one nested transform for all band keys (same codegen-size rationale as
+    # minhash_signature), and cache: the self-join below would otherwise
+    # recompute every signature twice — at scale, persist the signature table.
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     band_keys = sig.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.bucket")
+    ).select("id", "bk.band", "bk.bucket").cache()
     left = band_keys.alias("l")
     right = band_keys.alias("r")
     pairs = (
@@ -140,7 +145,7 @@ def ngram_jaccard(
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
-    )
+    ).cache()  # joined on both pair sides — compute the gram sets once
     return (
         pairs.join(sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")

@@ -95,6 +95,14 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(F.lower(F.trim(col)))
 
 
+def wordset_fingerprint(col: Column) -> Column:
+    """Bag-of-words fingerprint: md5 of the sorted distinct lowercase tokens.
+    Collapses reorderings/repetitions — the exact-dedup key for content whose
+    token multiset, not byte sequence, defines identity."""
+    toks = F.split(F.trim(F.lower(col)), "\\s+")
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
 def rolling_fingerprint(col: Column, k: int = 8, keep: int = 4) -> Column:
     """Fuzzy fingerprint: min-k of xxhash64 over k-shingles (a winnowing-style
     scheme) packed to a string. Equal fingerprints -> near-identical prefixes."""

@@ -623,6 +623,11 @@ FROM d, m GROUP BY lang
 # Registry
 # --------------------------------------------------------------------------
 
+from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_moments": q_stats_moments,
     "stats_quantiles": q_stats_quantiles,
@@ -647,6 +652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "onehot_proportions": q_onehot_proportions,
     "standardize_nchars": q_standardize_nchars,
     "impute_median": q_impute_median,
+    **PIPELINE_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -673,4 +679,5 @@ ORACLES: dict[str, str] = {
     "onehot_proportions": SQL_ONEHOT_PROPORTIONS,
     "standardize_nchars": SQL_STANDARDIZE_NCHARS,
     "impute_median": SQL_IMPUTE_MEDIAN,
+    **PIPELINE_ORACLES,
 }

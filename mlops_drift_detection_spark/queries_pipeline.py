@@ -1,0 +1,390 @@
+"""Driver-contract queries for the training-data pipeline operators
+(dedup / similarity / text analysis / multimodal), paired with DuckDB
+oracles where the semantics are SQL-expressible.
+
+Design notes (scale-first):
+* Every dedup/similarity candidate generation is a key-partitioned shuffle
+  (digest groupBy, LSH band-bucket join) — never an all-pairs product.
+  The *oracle-facing* exact variants restrict to deterministic subsets so
+  DuckDB can cross-join them; the LSH variants are the 100 TB path and are
+  registered as rows-only checks (LSH bucketing is not ANSI-SQL).
+* Text analysis is pure Column expressions (JVM codegen); the oracle SQL is
+  generated from the same stopword profiles so both sides share one spec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.functions.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash64,
+    simhash_candidates,
+    hamming64,
+)
+from mlops_drift_detection_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_expr,
+    embedding_neardup_pairs,
+    lsh_bucketed_topk,
+)
+from mlops_drift_detection_spark.functions.textstats import (
+    STOPWORDS,
+    language_id,
+    punct_ratio,
+    quality_score,
+    subword_count_bpe_ish,
+    token_count,
+    wordset_fingerprint,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+def q_dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the bag-of-words fingerprint: one digest-keyed shuffle,
+    map-side combine; groups with multiplicity > 1 are the duplicate sets."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            wordset_fingerprint(F.col("text")).alias("fp"),
+            F.col("doc_id"),
+        )
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+SQL_DEDUP_FINGERPRINT_GROUPS = r"""
+SELECT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)),'\s+'))),' ')) AS fp,
+       count(*) AS n, min(doc_id) AS min_id
+FROM documents GROUP BY fp HAVING count(*) > 1
+"""
+
+
+def q_dedup_keep_min_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keeping the min-id doc per fingerprint (deterministic winner via
+    groupBy+semi-join — no global window sort), then per-lang survivor counts."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "fp", wordset_fingerprint(F.col("text"))
+    )
+    winners = docs.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(winners.select("doc_id"), "doc_id", "left_semi")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+SQL_DEDUP_KEEP_MIN_BY_LANG = r"""
+WITH f AS (SELECT doc_id, lang,
+                  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)),'\s+'))),' ')) AS fp
+           FROM documents),
+     w AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp)
+SELECT lang, count(*) AS n_kept FROM f WHERE doc_id IN (SELECT doc_id FROM w)
+GROUP BY lang
+"""
+
+
+def q_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: banded MinHash LSH candidates (64 hashes / 16 bands,
+    word shingles) verified with exact word-set Jaccard >= 0.9.
+
+    Oracle = exhaustive Jaccard (no LSH): with 4-row bands a j>=0.9 pair is
+    missed with prob (1 - j^4)^16 < 4e-8, so LSH+verify and exhaustive agree
+    on this data; at scale only the LSH path is feasible."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=64, bands=16, shingle_k=1
+    )
+    verified = ngram_jaccard(docs, cands, "text", "doc_id", n=1)
+    return verified.where(F.col("jaccard") >= 0.9).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_MINHASH_LSH_JACCARD = r"""
+WITH w AS (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)),'\s+')) AS ws FROM documents),
+     p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.ws, b.ws))::DOUBLE / len(list_distinct(list_concat(a.ws, b.ws))) AS j
+           FROM w a JOIN w b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.9
+"""
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures (Arrow-vectorized FNV-1a bit
+    voting), rotated-prefix bucketing, Hamming <= 6 verification. Rows-only
+    check: the bit-level kernel is not ANSI-SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    sims = simhash64(docs, "text", "doc_id").cache()
+    cands = simhash_candidates(sims, prefix_bits=16, rotations=4)
+    a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")))
+        .where(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: broadcast queries,
+    one corpus scan, per-query reduce (the brute-force ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+     q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+     s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+                  list_dot_product(q.qv, v.ve)
+                  / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.ve, v.ve))) AS c
+           FROM q JOIN v ON v.vec_id <> q.query_id),
+     r AS (SELECT query_id, neighbor_id, c,
+                  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+           FROM s)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine FROM r WHERE rk <= 10
+"""
+
+
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.45), exact all-pairs — the
+    oracle-checkable baseline for the LSH-bucketed scale path below."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= 0.45)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP_EXACT = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  list_dot_product(a.ve, b.ve)
+                  / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS c
+           FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.45
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (4 tables, 6
+    planes -> 64 buckets, sized so buckets hold ~n/64 vectors): the
+    O(N + Q*bucket) scale path. Rows-only check (probabilistic recall,
+    deterministic given the fixed seed)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10,
+        planes=6, tables=4, seed=42, dim=64,
+    )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (scale path; candidates only within equal
+    sign-bit buckets). Rows-only: bucket membership is not ANSI-SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=0.45, planes=4, seed=42, dim=64,
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_PUNCT_CLASS_SQL = """[\\.,;:!?'"()\\[\\]{}]"""
+
+
+def _sql_token_count(col: str) -> str:
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({col}), '\\s+')) END"
+    )
+
+
+def _sql_punct_ratio(col: str) -> str:
+    cls = _PUNCT_CLASS_SQL.replace("'", "''")
+    return (
+        f"CASE WHEN length({col}) > 0 THEN "
+        f"(length({col}) - length(regexp_replace({col}, '{cls}', '', 'g')))::DOUBLE / length({col}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _sql_stopword_hits(col: str, words: list[str]) -> str:
+    """Mirror of textstats.stopword_hits: per-word global replace count with
+    the same non-overlapping ' w ' padded-match semantics, cast int, summed."""
+    padded = f"(' ' || lower({col}) || ' ')"
+    terms = []
+    for w in words:
+        pat = f" {w} "
+        terms.append(
+            f"CAST((length({padded}) - length(replace({padded}, '{pat}', ''))) / {len(pat)}.0 AS INT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_stopword_ratio(col: str, lang: str = "en") -> str:
+    toks = _sql_token_count(col)
+    hits = _sql_stopword_hits(col, STOPWORDS[lang])
+    return f"CASE WHEN {toks} > 0 THEN {hits}::DOUBLE / {toks} ELSE 0.0 END"
+
+
+def _sql_quality_score(col: str) -> str:
+    return (
+        f"round(0.4 * least(length({col}) / 500.0, 1.0)"
+        f" + 0.3 * (1.0 - least({_sql_punct_ratio(col)} * 5.0, 1.0))"
+        f" + 0.3 * least({_sql_stopword_ratio(col)} * 5.0, 1.0), 6)"
+    )
+
+
+def _sql_language_id(col: str) -> str:
+    """Mirror of textstats.language_id's fold: candidates processed in
+    reversed profile order with strict '>', so ties keep the later profile —
+    equivalent to an argmax chain checked in reversed order with '>='."""
+    langs = list(STOPWORDS.keys())
+    hits = {lang: _sql_stopword_hits(col, ws) for lang, ws in STOPWORDS.items()}
+    clauses = []
+    for lang in reversed(langs):
+        others = [hits[o] for o in langs if o != lang]
+        cond = " AND ".join([f"{hits[lang]} > 0"] + [f"{hits[lang]} >= {o}" for o in others])
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang text-quality profile — token counts, punctuation ratio and the
+    composite pretraining-quality score, all JVM Column exprs in one pass."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(c)).alias("total_tokens"),
+        F.round(F.avg(token_count(c)), 4).alias("avg_tokens"),
+        F.round(F.avg(punct_ratio(c)), 6).alias("avg_punct_ratio"),
+        F.round(F.avg(quality_score(c)), 6).alias("avg_quality"),
+    )
+
+
+SQL_TEXT_QUALITY_PROFILE = f"""
+SELECT lang, count(*) AS n_docs,
+       sum({_sql_token_count('text')}) AS total_tokens,
+       round(avg({_sql_token_count('text')}), 4) AS avg_tokens,
+       round(avg({_sql_punct_ratio('text')}), 6) AS avg_punct_ratio,
+       round(avg({_sql_quality_score('text')}), 6) AS avg_quality
+FROM documents GROUP BY lang
+"""
+
+
+def q_language_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID over content vs the labeled lang column:
+    (labeled, predicted, n) confusion counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("labeled"), language_id(F.col("text")).alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_LANGUAGE_ID_COUNTS = f"""
+SELECT lang AS labeled, {_sql_language_id('text')} AS predicted, count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish subword token totals per source (F.split stays in
+    codegen; no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.groupBy("source").agg(
+        F.sum(token_count(c)).alias("ws_tokens"),
+        F.sum(subword_count_bpe_ish(c)).alias("subword_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS_BY_SOURCE = f"""
+SELECT source,
+       sum({_sql_token_count('text')}) AS ws_tokens,
+       sum(len(string_split_regex(trim(text), '\\s+'))
+           + len(string_split_regex(text, '[0-9]+')) - 1
+           + len(string_split_regex(text, '[\\.,;:!?]')) - 1) AS subword_tokens
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (fake decode — codec layer stubbed, plan real)
+# --------------------------------------------------------------------------
+
+def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode->featurize->profile over a deterministic synthetic media table:
+    exercises the full mapInPandas Arrow path (schema, batching, per-kind
+    features). Rows-only: the byte-histogram featurizer is not ANSI-SQL."""
+    from mlops_drift_detection_spark.functions.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=120, seed=42)
+    feats = extract_features(media, decode_mode="fake", feature_dim=16)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+    )
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
+    "dedup_keep_min_by_lang": q_dedup_keep_min_by_lang,
+    "minhash_lsh_jaccard": q_minhash_lsh_jaccard,
+    "simhash_neardup": q_simhash_neardup,
+    "cosine_topk": q_cosine_topk,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "text_quality_profile": q_text_quality_profile,
+    "language_id_counts": q_language_id_counts,
+    "token_counts_by_source": q_token_counts_by_source,
+    "media_profile": q_media_profile,
+}
+
+# rows-only entries (simhash_neardup, ann_lsh_topk, embedding_neardup_lsh,
+# media_profile) intentionally have no oracle: LSH bucketing / bit kernels /
+# Arrow featurizers are not ANSI-SQL-expressible. The driver records the
+# weaker rows-only check for them.
+PIPELINE_ORACLES: dict[str, str] = {
+    "dedup_fingerprint_groups": SQL_DEDUP_FINGERPRINT_GROUPS,
+    "dedup_keep_min_by_lang": SQL_DEDUP_KEEP_MIN_BY_LANG,
+    "minhash_lsh_jaccard": SQL_MINHASH_LSH_JACCARD,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP_EXACT,
+    "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
+    "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
+    "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,
+}

@@ -1,0 +1,246 @@
+"""Structured Streaming drift validation: file-source micro-batches,
+watermarked windowed aggregation, foreachBatch PSI verdicts, and the
+applyInPandasWithState cumulative drift operator.
+
+Fixtures mirror the reference's normal-vs-drifted pattern
+(reference: test_drift_detection.py:46-171): micro-batch 0 matches the
+baseline lang mix (no alarm), micro-batch 1 is deliberately shifted (alarm).
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mlops_drift_detection_spark.operators.psi import psi_from_counts
+from mlops_drift_detection_spark.streaming import (
+    foreach_batch_validator,
+    run_file_stream_validation,
+    stateful_lang_drift,
+    windowed_profile,
+)
+
+CATS = ["en", "de", "es"]
+BASELINE = {"en": 600.0, "de": 300.0, "es": 100.0}
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _mk_batch(spark, langs: list[str], start_id: int, hour: int):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, hour, 0, 0)
+    rows = [
+        Row(
+            doc_id=start_id + i,
+            lang=lang,
+            n_chars=100 + (i % 50),
+            ts=base + dt.timedelta(minutes=i % 50),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _normal_langs(n=1000):
+    # matches BASELINE proportions 60/30/10
+    out = []
+    for i in range(n):
+        r = i % 10
+        out.append("en" if r < 6 else ("de" if r < 9 else "es"))
+    return out
+
+
+def _drifted_langs(n=1000):
+    # deliberately shifted: es-dominated
+    out = []
+    for i in range(n):
+        r = i % 10
+        out.append("es" if r < 7 else ("de" if r < 9 else "en"))
+    return out
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    return str(inp), str(tmp_path / "ckpt")
+
+
+def test_foreach_batch_drift_alarm(spark, stream_dirs, tmp_path):
+    """Normal micro-batch -> no alarm; drifted micro-batch -> PSI alarm."""
+    inp, ckpt = stream_dirs
+    _mk_batch(spark, _normal_langs(), 0, hour=0).coalesce(1).write.parquet(
+        f"{inp}/b0"
+    )
+    _mk_batch(spark, _drifted_langs(), 10_000, hour=1).coalesce(1).write.parquet(
+        f"{inp}/b1"
+    )
+
+    out_rows: list = []
+    on_batch = foreach_batch_validator(BASELINE, CATS, out_rows=out_rows)
+    q = run_file_stream_validation(
+        spark, f"{inp}/*", SCHEMA, ckpt, on_batch, max_files_per_trigger=1
+    )
+    _await(q)
+
+    assert len(out_rows) >= 2
+    by_alarm = sorted(out_rows, key=lambda r: r["batch_id"])
+    total = {r["batch_id"]: r for r in by_alarm}
+    flags = [r["drift_detected"] for r in by_alarm]
+    # exactly one of the micro-batches alarms, and it is the drifted one
+    # (file order within a glob is not guaranteed => check by PSI, not id)
+    psis = sorted(r["psi"] for r in by_alarm)
+    assert psis[0] < 0.2 and psis[-1] >= 0.2
+    assert sum(flags) == 1
+    assert all(r["n_rows"] == 1000 for r in total.values())
+
+
+def test_foreach_batch_matches_batch_kernel(spark, stream_dirs):
+    """Streaming verdicts use the exact batch PSI kernel (same floats)."""
+    inp, ckpt = stream_dirs
+    langs = _drifted_langs(500)
+    _mk_batch(spark, langs, 0, hour=0).coalesce(1).write.parquet(f"{inp}/b0")
+    out_rows: list = []
+    q = run_file_stream_validation(
+        spark, f"{inp}/*", SCHEMA, ckpt, foreach_batch_validator(BASELINE, CATS, out_rows=out_rows)
+    )
+    _await(q)
+
+    expected = [BASELINE[c] for c in CATS]
+    actual = [float(sum(1 for x in langs if x == c)) for c in CATS]
+    assert out_rows[0]["psi"] == pytest.approx(psi_from_counts(expected, actual), abs=0)
+
+
+def test_foreach_batch_checkpoint_no_reprocess(spark, stream_dirs):
+    """Restarting with the same checkpoint does NOT re-validate old files —
+    the streaming analogue of the manifest resume guarantee."""
+    inp, ckpt = stream_dirs
+    _mk_batch(spark, _normal_langs(200), 0, hour=0).coalesce(1).write.parquet(
+        f"{inp}/b0"
+    )
+    rows1: list = []
+    q1 = run_file_stream_validation(
+        spark, f"{inp}/*", SCHEMA, ckpt, foreach_batch_validator(BASELINE, CATS, out_rows=rows1)
+    )
+    _await(q1)
+    assert len(rows1) == 1
+
+    # drop a new file, restart from the same checkpoint
+    _mk_batch(spark, _drifted_langs(200), 5000, hour=1).coalesce(1).write.parquet(
+        f"{inp}/b1"
+    )
+    rows2: list = []
+    q2 = run_file_stream_validation(
+        spark, f"{inp}/*", SCHEMA, ckpt, foreach_batch_validator(BASELINE, CATS, out_rows=rows2)
+    )
+    _await(q2)
+    assert len(rows2) == 1  # only the new file
+    assert rows2[0]["n_rows"] == 200
+
+
+def test_windowed_profile_event_time(spark, stream_dirs):
+    """Watermarked tumbling windows: per-(window, lang) counts over event
+    time, memory sink, availableNow."""
+    inp, ckpt = stream_dirs
+    _mk_batch(spark, _normal_langs(100), 0, hour=0).coalesce(1).write.parquet(
+        f"{inp}/b0"
+    )
+    # hour-4 batch pushes the 1h watermark past the hour-0 window's end so
+    # append mode emits the closed window
+    _mk_batch(spark, _normal_langs(100), 1000, hour=4).coalesce(1).write.parquet(
+        f"{inp}/b1"
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(f"{inp}/*")
+    )
+    prof = windowed_profile(
+        stream, ts_col="ts", key_col="lang", value_col="n_chars",
+        window="1 hour", watermark="1 hour",
+    )
+    name = f"winprof_{int(time.time() * 1000)}"
+    q = (
+        prof.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    # append mode only emits windows closed by the watermark; with
+    # availableNow the final watermark passes the hour-0 window.
+    assert len(got) >= 1
+    for r in got:
+        assert r["n"] > 0 and r["key"] in CATS
+        assert r["window_end"] > r["window_start"]
+
+
+def test_stateful_cumulative_drift(spark, stream_dirs):
+    """applyInPandasWithState: cumulative per-source histogram across
+    micro-batches; PSI reflects the running mix, not just the last batch."""
+    inp, ckpt = stream_dirs
+    # two micro-batches for one key 'src': first normal, second drifted;
+    # cumulative mix after batch 2 = average of the two -> medium PSI
+    b0 = _mk_batch(spark, _normal_langs(600), 0, hour=0).withColumn(
+        "source", F.lit("src")
+    )
+    b1 = _mk_batch(spark, _drifted_langs(600), 5000, hour=1).withColumn(
+        "source", F.lit("src")
+    )
+    b0.coalesce(1).write.parquet(f"{inp}/b0")
+    b1.coalesce(1).write.parquet(f"{inp}/b1")
+
+    schema = SCHEMA.add("source", StringType())
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(f"{inp}/*")
+    )
+    out = stateful_lang_drift(
+        stream.groupBy("source"), BASELINE, CATS, cat_col="lang"
+    )
+    name = f"statedrift_{int(time.time() * 1000)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    rows = sorted(
+        spark.sql(f"SELECT * FROM {name}").collect(), key=lambda r: r["n_total"]
+    )
+    assert len(rows) == 2
+    assert rows[0]["n_total"] == 600 and rows[1]["n_total"] == 1200
+    # cumulative semantics: the second emission's PSI equals the kernel on the
+    # summed counts
+    langs = _normal_langs(600) + _drifted_langs(600)
+    expected = [BASELINE[c] for c in CATS]
+    cum = [float(sum(1 for x in langs if x == c)) for c in CATS]
+    assert rows[1]["psi"] == pytest.approx(psi_from_counts(expected, cum), abs=1e-12)
+    assert rows[1]["drift_detected"] == "true"
+    assert rows[0]["psi"] < 0.2

@@ -1,0 +1,148 @@
+"""Preprocessing operators: the reference's pandas feature pipeline
+re-expressed as reusable, vectorized DataFrame transforms.
+
+Reference mapping (SURVEY.md §2.2/2.7):
+* derived ratio columns   — src/api/preprocessing.py:44-48
+* one-hot with a FIXED category set — data_preprocessing_no_indicators.py:144-157
+  (pd.get_dummies discovers categories from data — nondeterministic column
+  sets across batches; a fixed set keeps the schema stable, which is the
+  J2 alignment bug the reference patches at preprocessing.py:63-68)
+* standardize fit/transform — data_preprocessing_no_indicators.py:159-187
+* median/mode impute — data_preprocessing.py:91-117
+* align_to_template — preprocessing.py:63-68 (missing -> 0, fixed order)
+
+All fits are single aggregate passes returning tiny dicts (broadcast as plan
+literals); transforms are pure projections — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def derive_ratio(
+    df: DataFrame, out_col: str, num: str, den: str, scale: float = 1.0
+) -> DataFrame:
+    """num/den * scale with the reference's zero-denominator guard
+    (0 -> NULL, data_preprocessing_no_indicators.py:118-139)."""
+    return df.withColumn(
+        out_col,
+        F.col(num) / F.nullif(F.col(den), F.lit(0)) * F.lit(scale),
+    )
+
+
+def one_hot(
+    df: DataFrame, column: str, categories: Sequence[str], drop_first: bool = True
+) -> DataFrame:
+    """One-hot encode against a FIXED category list: deterministic columns
+    `{column}_{cat}` (0/1 int), unknown categories encode as all-zeros."""
+    cats = list(categories)[1:] if drop_first else list(categories)
+    out = df
+    for c in cats:
+        out = out.withColumn(
+            f"{column}_{c}", (F.col(column) == F.lit(c)).cast("int")
+        )
+    return out
+
+
+def standardize_fit(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]:
+    """One aggregate pass -> {col: (mean, std)}. Population std would match
+    sklearn's StandardScaler; stddev_samp matches the reference's baseline
+    std (baseline_calculator.py:64) — callers choose via `ddof`-style needs."""
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(f"__m_{c}"), F.stddev_samp(c).alias(f"__s_{c}")]
+    row = df.agg(*aggs).first()
+    return {c: (row[f"__m_{c}"], row[f"__s_{c}"]) for c in cols}
+
+
+def standardize_transform(
+    df: DataFrame, stats: Mapping[str, tuple[float, float]]
+) -> DataFrame:
+    """(col - mean) / std projection; std<=0 -> 0.0 (degenerate column)."""
+    out = df
+    for c, (m, s) in stats.items():
+        if s is None or s <= 0:
+            out = out.withColumn(c, F.lit(0.0))
+        else:
+            out = out.withColumn(c, (F.col(c) - F.lit(m)) / F.lit(s))
+    return out
+
+
+def impute_fit(
+    df: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+) -> dict[str, object]:
+    """Median for numerics (percentile_approx at scale), mode for
+    categoricals (F.mode; deterministic enough for fill values) — one pass
+    for all numerics, one tiny groupBy per categorical."""
+    fills: dict[str, object] = {}
+    if numeric_cols:
+        aggs = [
+            F.expr(f"percentile_approx({c}, 0.5, 10000)").alias(c)
+            for c in numeric_cols
+        ]
+        row = df.agg(*aggs).first()
+        for c in numeric_cols:
+            fills[c] = row[c]
+    for c in categorical_cols:
+        top = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc(c))
+            .first()
+        )
+        if top is not None:
+            fills[c] = top[c]
+    return fills
+
+
+def impute_transform(df: DataFrame, fills: Mapping[str, object]) -> DataFrame:
+    return df.na.fill(dict(fills))
+
+
+def align_to_template(
+    df: DataFrame, template_cols: Sequence[str], fill=0
+) -> DataFrame:
+    """Project onto a fixed column template: missing columns materialize as
+    ``fill``, extras are dropped, order is the template's. The J2 alignment
+    (preprocessing.py:63-68) as one select — schema-stable across batches."""
+    exprs = []
+    for c in template_cols:
+        if c in df.columns:
+            exprs.append(F.col(c).alias(c))
+        else:
+            exprs.append(F.lit(fill).alias(c))
+    return df.select(*exprs)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[float] = (0.7, 0.1, 0.2),
+    labels: Sequence[str] = ("train", "val", "test"),
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic 'random' split (SP1, data_preprocessing.py:265-307):
+    bucket = md5(id) mod buckets, cumulative-weight thresholds pick the
+    split. Unlike randomSplit, membership is a pure function of the row id —
+    stable across runs, partitionings and cluster sizes, and exactly
+    reproducible by any engine with md5 (the DuckDB oracle uses the same
+    formula). Stratification comes free: hashing is independent of any
+    stratum column, so per-stratum proportions converge to the weights."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % buckets
+    )
+    acc = 0.0
+    expr = None
+    for w, lab in zip(weights, labels):
+        acc += w
+        cond = bucket < F.lit(int(round(acc * buckets)))
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    return df.withColumn("split", expr.otherwise(F.lit(labels[-1])))

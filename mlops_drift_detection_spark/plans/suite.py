@@ -106,6 +106,10 @@ class ValidationSuite:
 
     # ------------------------------------------------------------- constraints
     def violations(self, df: DataFrame, commits_dim: DataFrame | None) -> DataFrame:
+        """All constraint checks: the row-level rules are FUSED into one scan
+        (array-of-structs + explode — see C.fused_row_violations); uniqueness
+        adds its key shuffle and referential its anti-join. Three data
+        traversals total, independent of the number of row rules."""
         cfg = self.config
         checks: list[DataFrame] = []
         on = lambda name: name in cfg.checks  # noqa: E731
@@ -113,27 +117,59 @@ class ValidationSuite:
             checks.append(C.uniqueness_violations(df, cfg.key_cols))
         if on("referential") and commits_dim is not None:
             checks.append(C.referential_violations(df, commits_dim))
+
+        rules: list[C.RowRule] = []
         if on("not_null_lang"):
-            checks.append(C.null_violations(df, "lang"))
+            rules.append(
+                C.RowRule("not_null", "lang", F.col("lang").isNull(), F.lit("null value"))
+            )
         if on("not_empty_content"):
-            checks.append(C.not_empty_violations(df, "content"))
+            rules.append(
+                C.RowRule(
+                    "not_empty",
+                    "content",
+                    F.col("content").isNotNull() & (F.length("content") == 0),
+                    F.lit("empty value"),
+                )
+            )
         if on("content_length_range"):
-            checks.append(
-                C.range_violations(
-                    df.withColumn(CONTENT_LEN, F.length("content")),
+            clen = F.length("content")
+            rules.append(
+                C.RowRule(
+                    "range",
                     CONTENT_LEN,
-                    min_value=1.0,
-                    max_value=cfg.max_content_length,
+                    clen.isNotNull()
+                    & ((clen < F.lit(1.0)) | (clen > F.lit(cfg.max_content_length))),
+                    F.concat(F.lit("value="), clen.cast("string")),
                 )
             )
         if on("commit_format"):
-            checks.append(C.regex_violations(df, "commit", cfg.commit_regex))
+            rules.append(
+                C.RowRule(
+                    "regex",
+                    "commit",
+                    F.col("commit").isNotNull()
+                    & ~F.col("commit").rlike(cfg.commit_regex),
+                    F.concat(F.lit("value="), F.col("commit").cast("string")),
+                )
+            )
         if (
             on("sha256_invariant")
             and cfg.check_sha256
             and "content_sha256" in df.columns
         ):
-            checks.append(C.sha256_invariant_violations(df))
+            rules.append(
+                C.RowRule(
+                    "sha256_invariant",
+                    "content",
+                    F.col("content").isNotNull()
+                    & (F.sha2(F.col("content"), 256) != F.col("content_sha256")),
+                    F.concat(F.lit("expected="), F.col("content_sha256")),
+                )
+            )
+        if rules:
+            checks.append(C.fused_row_violations(df, rules))
+
         if not checks:
             return C.empty_violations(df.sparkSession)
         return functools.reduce(lambda a, b: a.unionByName(b), checks)

@@ -619,6 +619,53 @@ FROM d, m GROUP BY lang
 """
 
 
+def q_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP1: deterministic hash split (md5-bucket 70/10/20) — per (lang, split)
+    counts. Stable across runs/partitionings, unlike randomSplit."""
+    from mlops_drift_detection_spark.functions.preprocess import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_STRATIFIED_SPLIT_COUNTS = """
+WITH b AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 10000 AS bk
+  FROM documents)
+SELECT lang,
+       CASE WHEN bk < 7000 THEN 'train' WHEN bk < 8000 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_null_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (investigate_leakage.py:21-95): compare cohorts with/without a null
+    value — count, distinct users, mean props length."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("value").isNull().alias("value_is_null"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.round(F.avg(F.length("props")), 4).alias("avg_props_len"),
+        )
+    )
+
+
+SQL_NULL_GAP_AUDIT = """
+SELECT value IS NULL AS value_is_null, count(*) AS n,
+       count(DISTINCT user_id) AS distinct_users,
+       round(avg(length(props)), 4) AS avg_props_len
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -652,6 +699,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "onehot_proportions": q_onehot_proportions,
     "standardize_nchars": q_standardize_nchars,
     "impute_median": q_impute_median,
+    "stratified_split_counts": q_stratified_split_counts,
+    "null_gap_audit": q_null_gap_audit,
     **PIPELINE_QUERIES,
 }
 
@@ -679,5 +728,7 @@ ORACLES: dict[str, str] = {
     "onehot_proportions": SQL_ONEHOT_PROPORTIONS,
     "standardize_nchars": SQL_STANDARDIZE_NCHARS,
     "impute_median": SQL_IMPUTE_MEDIAN,
+    "stratified_split_counts": SQL_STRATIFIED_SPLIT_COUNTS,
+    "null_gap_audit": SQL_NULL_GAP_AUDIT,
     **PIPELINE_ORACLES,
 }

@@ -1,0 +1,7 @@
+from mlops_drift_detection_spark.sources.io import (  # noqa: F401
+    CODE_FILES_SCHEMA,
+    COMMITS_SCHEMA,
+    append_log,
+    read_table,
+    write_table,
+)

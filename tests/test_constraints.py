@@ -105,3 +105,67 @@ def test_violation_shape_uniform(fixture, spark):
     ]
     for d in dfs:
         assert d.columns == C.VIOLATION_COLS
+
+
+def test_fused_row_violations_equals_union(fixture, spark):
+    """The single-scan fused path emits EXACTLY the rows of the per-check
+    union (same check/column/detail strings, same multiset)."""
+    _, cf, _ = fixture
+    clen = F.length("content")
+    rules = [
+        C.RowRule("not_null", "lang", F.col("lang").isNull(), F.lit("null value")),
+        C.RowRule(
+            "not_empty",
+            "content",
+            F.col("content").isNotNull() & (clen == 0),
+            F.lit("empty value"),
+        ),
+        C.RowRule(
+            "range",
+            "content_length",
+            clen.isNotNull() & ((clen < F.lit(1.0)) | (clen > F.lit(5000.0))),
+            F.concat(F.lit("value="), clen.cast("string")),
+        ),
+        C.RowRule(
+            "regex",
+            "commit",
+            F.col("commit").isNotNull() & ~F.col("commit").rlike("^[0-9a-f]{40}$"),
+            F.concat(F.lit("value="), F.col("commit").cast("string")),
+        ),
+    ]
+    fused = sorted(map(tuple, C.fused_row_violations(cf, rules).collect()))
+    union = sorted(
+        map(
+            tuple,
+            C.null_violations(cf, "lang")
+            .unionByName(C.not_empty_violations(cf, "content"))
+            .unionByName(
+                C.range_violations(
+                    cf.withColumn("content_length", clen),
+                    "content_length",
+                    min_value=1.0,
+                    max_value=5000.0,
+                )
+            )
+            .unionByName(C.regex_violations(cf, "commit", "^[0-9a-f]{40}$"))
+            .collect(),
+        )
+    )
+    assert len(fused) > 0
+    assert fused == union
+
+
+def test_fused_row_violations_single_scan_plan(fixture):
+    """The fused plan touches the input relation once (one scan leaf)."""
+    _, cf, _ = fixture
+    rules = [
+        C.RowRule("not_null", "lang", F.col("lang").isNull(), F.lit("null value")),
+        C.RowRule(
+            "regex",
+            "commit",
+            F.col("commit").isNotNull() & ~F.col("commit").rlike("^[0-9a-f]{40}$"),
+            F.concat(F.lit("value="), F.col("commit").cast("string")),
+        ),
+    ]
+    plan = C.fused_row_violations(cf, rules)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("inmemoryrelation") + plan.lower().count("logicalrdd") <= 1

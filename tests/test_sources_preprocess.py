@@ -1,0 +1,117 @@
+"""Sources (schema-enforced readers, partitioned log sink) and the
+preprocessing operators (one-hot, standardize, impute, align, hash split)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mlops_drift_detection_spark.functions.preprocess import (
+    align_to_template,
+    derive_ratio,
+    hash_split,
+    impute_fit,
+    impute_transform,
+    one_hot,
+    standardize_fit,
+    standardize_transform,
+)
+from mlops_drift_detection_spark.sources import (
+    CODE_FILES_SCHEMA,
+    append_log,
+    read_table,
+    write_table,
+)
+
+
+def test_csv_roundtrip_schema_enforced(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("r1", "a.py", "c" * 40, "python", "print(1)")], CODE_FILES_SCHEMA
+    )
+    p = str(tmp_path / "csv")
+    write_table(df, p, fmt="csv")
+    back = read_table(spark, p, fmt="csv", schema=CODE_FILES_SCHEMA)
+    assert back.schema == CODE_FILES_SCHEMA
+    assert back.collect() == df.collect()
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, p, fmt="csv")
+
+
+def test_append_log_partition_pruning(spark, tmp_path):
+    import datetime as dt
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("ts", TimestampType())]
+    )
+    rows = [
+        Row(id=i, ts=dt.datetime(2026, 1, 1 + (i % 3), 12, 0)) for i in range(30)
+    ]
+    p = str(tmp_path / "log")
+    append_log(spark.createDataFrame(rows, schema), p)
+    back = spark.read.parquet(p)
+    pruned = back.where(F.col("log_date") == "2026-01-02")
+    assert pruned.count() == 10
+    # the date predicate must reach the source as partition pruning
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "log_date" in plan
+
+
+def test_one_hot_fixed_categories(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("z",)], ["c"])
+    out = one_hot(df, "c", ["a", "b", "d"], drop_first=True)
+    rows = {r["c"]: (r["c_b"], r["c_d"]) for r in out.collect()}
+    assert rows["a"] == (0, 0)  # dropped first category -> all zeros
+    assert rows["b"] == (1, 0)
+    assert rows["z"] == (0, 0)  # unknown category -> all zeros, schema stable
+
+
+def test_standardize_and_impute(spark):
+    df = spark.createDataFrame(
+        [(1.0, "x"), (3.0, "x"), (None, "y"), (5.0, None)],
+        StructType(
+            [StructField("v", DoubleType()), StructField("c", StringType())]
+        ),
+    )
+    fills = impute_fit(df, numeric_cols=["v"], categorical_cols=["c"])
+    assert fills["v"] == 3.0 and fills["c"] == "x"
+    filled = impute_transform(df, fills)
+    assert filled.where(F.col("v").isNull() | F.col("c").isNull()).count() == 0
+
+    stats = standardize_fit(filled, ["v"])
+    z = standardize_transform(filled, stats)
+    agg = z.agg(F.avg("v").alias("m"), F.stddev_samp("v").alias("s")).first()
+    assert abs(agg["m"]) < 1e-12 and abs(agg["s"] - 1.0) < 1e-12
+
+
+def test_derive_ratio_zero_guard(spark):
+    df = spark.createDataFrame([(10.0, 2.0), (5.0, 0.0)], ["n", "d"])
+    out = derive_ratio(df, "r", "n", "d", scale=100.0).collect()
+    got = {r["n"]: r["r"] for r in out}
+    assert got[10.0] == 500.0 and got[5.0] is None
+
+
+def test_align_to_template(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "extra"])
+    out = align_to_template(df, ["a", "b", "c"], fill=0)
+    assert out.columns == ["a", "b", "c"]
+    assert out.collect()[0] == Row(a=1, b=0, c=0)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    s1 = hash_split(df, "doc_id")
+    s2 = hash_split(df.repartition(13), "doc_id")
+    c1 = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    c2 = {r["split"]: r["n"] for r in s2.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert c1 == c2  # partitioning-independent membership
+    n = sum(c1.values())
+    assert abs(c1["train"] / n - 0.7) < 0.02
+    assert abs(c1["val"] / n - 0.1) < 0.02
+    assert abs(c1["test"] / n - 0.2) < 0.02

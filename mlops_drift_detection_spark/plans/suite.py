@@ -55,6 +55,12 @@ class SuiteConfig:
     commit_regex: str = "^[0-9a-f]{40}$"
     binning_strategy: str = "native"  # or "arrow"
     check_sha256: bool = True
+    # Cache each wave slice (MEMORY_AND_DISK) so the constraint scan, the two
+    # drift aggs and the per-partition counts reuse one materialization.
+    # Disable when the wave is far larger than cluster memory — the checks
+    # are each single-scan, so re-reading columnar storage is the cheaper
+    # trade at 100 TB (cache churn + eviction costs more than the rescans).
+    cache_waves: bool = True
     checks: tuple[str, ...] = (
         "uniqueness",
         "referential",
@@ -231,7 +237,9 @@ class ValidationSuite:
         waves = [w for w in waves if w]
 
         for wave in waves:
-            slice_df = dfp.where(F.col(PART).isin(wave)).cache()
+            slice_df = dfp.where(F.col(PART).isin(wave))
+            if self.config.cache_waves:
+                slice_df = slice_df.cache()
             viol = self.violations(slice_df, commits_dim).cache()
             verd = self.drift_verdicts(slice_df)
             # materialize wave results

@@ -34,9 +34,13 @@ HEADLINE = [
     "segment_revenue",
     "daily_event_windows",
     "dedup_fingerprint_groups",
-    "minhash_lsh_jaccard",
     "cosine_topk",
     "text_quality_profile",
+    "token_counts_by_source",
+    # minhash_lsh_jaccard stays in the correctness catalog but not the
+    # headline: the synthetic corpus's tiny vocabulary makes truly-similar
+    # pairs (the OUTPUT) quadratic in table size, so at sf0.1 the query
+    # measures pair-list materialization, not the LSH pipeline.
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -104,7 +104,7 @@ def q_null_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NULL_DISTINCT_PROFILE = """
 SELECT event_type, count(*) AS n,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
        round(avg(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 6) AS null_rate,
        count(DISTINCT user_id) AS distinct_users
 FROM events GROUP BY event_type

@@ -296,7 +296,7 @@ def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_QUALITY_PROFILE = f"""
 SELECT lang, count(*) AS n_docs,
-       sum({_sql_token_count('text')}) AS total_tokens,
+       CAST(sum({_sql_token_count('text')}) AS BIGINT) AS total_tokens,
        round(avg({_sql_token_count('text')}), 4) AS avg_tokens,
        round(avg({_sql_punct_ratio('text')}), 6) AS avg_punct_ratio,
        round(avg({_sql_quality_score('text')}), 6) AS avg_quality
@@ -334,10 +334,10 @@ def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNTS_BY_SOURCE = f"""
 SELECT source,
-       sum({_sql_token_count('text')}) AS ws_tokens,
-       sum(len(string_split_regex(trim(text), '\\s+'))
+       CAST(sum({_sql_token_count('text')}) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))
            + len(string_split_regex(text, '[0-9]+')) - 1
-           + len(string_split_regex(text, '[\\.,;:!?]')) - 1) AS subword_tokens
+           + len(string_split_regex(text, '[\\.,;:!?]')) - 1) AS BIGINT) AS subword_tokens
 FROM documents GROUP BY source
 """
 

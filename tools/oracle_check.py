@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each catalog query on
+Spark AND its DuckDB oracle SQL over the same parquet tables, then compare
+row count, column names, and a type-sensitive value hash (columns sorted by
+name, rows sorted by all values — same discipline as the driver, so an
+int-vs-decimal mismatch shows up here before it shows up in CORRECTNESS).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df) -> tuple[int, list[str], str]:
+    """(n_rows, sorted column names, value hash). Type-sensitive: cell repr
+    includes the python type so 3549 (int) != 3549.0 (float)."""
+    import pandas as pd  # noqa: F401
+
+    cols = sorted(df.columns)
+    df = df[cols]
+    cells = []
+    for row in df.itertuples(index=False):
+        cells.append(tuple(_cell(v) for v in row))
+    cells.sort()
+    h = hashlib.sha256(json.dumps(cells, default=str).encode()).hexdigest()[:16]
+    return len(df), cols, h
+
+
+def _cell(v):
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v):
+        return "NULL"
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date, np.datetime64)):
+        # date-typed vs timestamp-typed representations of the same instant
+        # compare equal (the driver treats them as equal; pandas round-trips
+        # Spark DATE as datetime.date but DuckDB DATE as datetime64[ns])
+        ts = pd.Timestamp(v)
+        return f"t:{ts.isoformat()}"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return f"i:{int(v)}"
+    if isinstance(v, (np.floating, float)):
+        return f"f:{float(v):.9g}"
+    if isinstance(v, (np.bool_, bool)):
+        return f"b:{bool(v)}"
+    return f"s:{v}"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    from mlops_drift_detection_spark.queries import ORACLES, QUERIES
+    from mlops_drift_detection_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    results = {}
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            sn, scols, shash = _canon(sdf)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"err": f"spark: {e}"}
+            failures += 1
+            print(f"FAIL {name}: spark error {e}")
+            continue
+        sql = ORACLES.get(name)
+        if sql is None:
+            results[name] = {"rows": sn, "err": "no_oracle"}
+            print(f"ROWS-ONLY {name}: {sn} rows")
+            continue
+        try:
+            odf = con.execute(sql).df()
+            on_, ocols, ohash = _canon(odf)
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"err": f"oracle: {e}"}
+            failures += 1
+            print(f"FAIL {name}: oracle error {e}")
+            continue
+        ok = sn == on_ and scols == ocols and shash == ohash
+        results[name] = {
+            "rows_match": sn == on_,
+            "schema_match": scols == ocols,
+            "hash_match": shash == ohash,
+            "spark_rows": sn,
+            "oracle_rows": on_,
+        }
+        if ok:
+            print(f"OK   {name}: {sn} rows")
+        else:
+            failures += 1
+            print(
+                f"FAIL {name}: spark({sn},{scols},{shash}) vs oracle({on_},{ocols},{ohash})"
+            )
+    print(json.dumps({"failures": failures, "checked": len(results)}))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

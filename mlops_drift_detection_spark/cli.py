@@ -44,6 +44,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--manifest-dir", help="checkpoint manifest directory")
     ap.add_argument("--output", help="output dir for violations/verdicts/summary")
     ap.add_argument("--resume", action="store_true", help="skip manifest-complete partitions")
+    ap.add_argument(
+        "--partition-input",
+        action="store_true",
+        help="rewrite the input hive-partitioned by part_id before validating "
+        "(one extra pass; wave/resume filters then PRUNE partitions at the "
+        "scan instead of re-reading everything — worth it for any input that "
+        "will be resumed or validated more than once)",
+    )
     ap.add_argument("--n-buckets", type=int, default=64, help="logical partition buckets")
     ap.add_argument("--n-waves", type=int, default=4, help="checkpoint waves per run")
     ap.add_argument("--binning", choices=["native", "arrow"], default="native")
@@ -79,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--input is required (or --generate-rows for a local smoke run)")
 
     cf = spark.read.parquet(args.input)
+    if args.partition_input and "part_id" not in cf.columns:
+        from mlops_drift_detection_spark.datagen import with_part_id
+
+        part_path = os.path.join(args.workdir, "input_partitioned")
+        with_part_id(cf, args.n_buckets).write.mode("overwrite").partitionBy(
+            "part_id"
+        ).parquet(part_path)
+        cf = spark.read.parquet(part_path)
     cm = spark.read.parquet(args.commits_dim) if args.commits_dim else None
 
     if args.baseline and os.path.exists(args.baseline):
@@ -105,13 +121,12 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     t0 = time.time()
+    # output is persisted PER WAVE inside run() (durable before each manifest
+    # commit — a kill between waves loses nothing), not once at the end
     res = suite.run(
-        cf, cm, manifest=manifest, resume=args.resume, n_waves=args.n_waves
+        cf, cm, manifest=manifest, resume=args.resume, n_waves=args.n_waves,
+        output_dir=args.output,
     )
-    if args.output:
-        res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
-        res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
-        res.summary.write.mode("overwrite").parquet(f"{args.output}/summary")
     n_viol = res.violations.count()
     n_verd = res.verdicts.count()
     elapsed = time.time() - t0

@@ -248,15 +248,38 @@ def expected_violation_counts(spec: CodeFilesSpec) -> dict[str, int]:
     }
 
 
+def with_part_id(df: DataFrame, n_buckets: int) -> DataFrame:
+    """The suite's logical partition id, materialized as a column — the SAME
+    formula ValidationSuite derives (pmod(xxhash64(repo), n)), so a table
+    written ``partitionBy("part_id")`` gives the suite storage-level
+    partition pruning on wave filters and resume."""
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int")
+    )
+
+
 def write_fixture(
-    spark: SparkSession, out_dir: str, spec: CodeFilesSpec | None = None
+    spark: SparkSession,
+    out_dir: str,
+    spec: CodeFilesSpec | None = None,
+    partition_buckets: int | None = None,
 ) -> dict[str, str]:
-    """Materialize code_files + commits as parquet; returns the paths."""
+    """Materialize code_files + commits as parquet; returns the paths.
+
+    ``partition_buckets``: write code_files hive-partitioned by ``part_id``
+    (bucketed on repo with the suite's formula). Wave/resume filters then
+    prune whole directories from the scan instead of re-reading everything —
+    the storage layout IS the resume unit."""
     spec = spec or CodeFilesSpec()
     commits = generate_commits(spark, spec)
     code_files = generate_code_files(spark, spec, commits)
     cf_path = f"{out_dir}/code_files"
     cm_path = f"{out_dir}/commits"
-    code_files.write.mode("overwrite").parquet(cf_path)
+    writer = code_files
+    if partition_buckets:
+        writer = with_part_id(code_files, partition_buckets)
+        writer.write.mode("overwrite").partitionBy("part_id").parquet(cf_path)
+    else:
+        writer.write.mode("overwrite").parquet(cf_path)
     commits.write.mode("overwrite").parquet(cm_path)
     return {"code_files": cf_path, "commits": cm_path}

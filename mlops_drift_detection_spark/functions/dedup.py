@@ -75,7 +75,24 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
-def minhash_lsh_candidates(
+def _pairs_from_sorted_ids(ids: Column) -> Column:
+    """All (a, b) with a before b in a sorted id array, as array<struct>.
+    Bounded work: callers cap the array size (bucket cap) first."""
+    n = F.size(ids)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, n),
+                lambda b: F.struct(
+                    F.element_at(ids, i).alias("id_a"), b.alias("id_b")
+                ),
+            ),
+        )
+    )
+
+
+def band_bucket_keys(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -83,22 +100,16 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
-
-    rows -> signatures (one projection) -> explode B band keys -> groupBy
-    band-bucket -> pairs within bucket -> distinct. The only quadratic work
-    is inside a bucket, which LSH keeps tiny for non-pathological data.
-    """
+    """(id, band, bucket) LSH band keys — one projection, one explode."""
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
     )
     # one nested transform for all band keys (same codegen-size rationale as
-    # minhash_signature), and cache: the self-join below would otherwise
-    # recompute every signature twice — at scale, persist the signature table.
+    # minhash_signature)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    band_keys = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -117,20 +128,64 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.bucket").cache()
-    left = band_keys.alias("l")
-    right = band_keys.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    ).select("id", "bk.band", "bk.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows -> signatures (one projection) -> explode B band keys -> groupBy
+    band-bucket -> emit in-bucket pairs -> distinct. Pair emission is a
+    groupBy + array explode, NOT a self-join: one scan of the input, no
+    cached intermediate to leak, and the quadratic in-bucket work is
+    explicitly bounded by ``max_bucket_size`` — a degenerate bucket (empty/
+    boilerplate docs all hashing together) is dropped instead of going
+    O(b^2). Use ``oversized_bucket_stats`` to count what a cap would drop
+    (dropped members are by construction near-identical boilerplate — the
+    usual policy at 100 TB is to route them to the exact-dedup pass, which
+    `dedup_exact` handles in one linear shuffle).
+    """
+    buckets = (
+        band_bucket_keys(df, text_col, id_col, num_hashes, bands, shingle_k)
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    return (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
+
+
+def oversized_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band, bucket, size) for band buckets a cap would drop — the audit
+    side of ``max_bucket_size``: run it alongside capped candidate
+    generation and log/count the result so truncation is never silent."""
+    return (
+        band_bucket_keys(df, text_col, id_col, num_hashes, bands, shingle_k)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > max_bucket_size)
+    )
 
 
 def ngram_jaccard(
@@ -139,13 +194,22 @@ def ngram_jaccard(
     text_col: str,
     id_col: str,
     n: int = 3,
+    cache: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs: joins each side to
-    its shingle set, then computes |A∩B| / |A∪B| with native array ops."""
+    its shingle set, then computes |A∩B| / |A∪B| with native array ops.
+
+    ``cache=True`` persists the gram sets (joined on both pair sides) for
+    the duration of the job — opt-in, because a long-lived session running
+    many queries would otherwise accumulate never-unpersisted blocks in
+    executor storage memory; the default recomputes the (cheap, scan-local)
+    gram projection once per side."""
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
-    ).cache()  # joined on both pair sides — compute the gram sets once
+    )
+    if cache:
+        sets = sets.cache()
     return (
         pairs.join(sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")
@@ -208,27 +272,156 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+_POW2_64 = [1 << b for b in range(63)] + [-(1 << 63)]  # two's-complement bit 63
+_POW2_32 = [1 << b for b in range(32)]
+
+
+def simhash64_native(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash): 64-bit SimHash computed ENTIRELY JVM-side — no Python.
+
+    Token hash = first 64 bits of md5(token), an engine-portable choice: md5
+    is standard everywhere, so the DuckDB oracle reproduces the signatures
+    bit-for-bit (xxhash64 would be Spark-only, FNV needs a UDF). Votes are a
+    single array-accumulator aggregate over the token list (one pass per
+    row); bit tests are bitwiseAND against power-of-two literals because
+    shiftleft/shiftright take only literal shift amounts inside lambdas.
+    """
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), "\\s+")
+    p32 = F.array(*[F.lit(v) for v in _POW2_32])
+    p64 = F.array(*[F.lit(v) for v in _POW2_64])
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+
+    # per-token (hi, lo) 32-bit halves of md5's first 64 bits — computed once
+    hl = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
+        ),
+    )
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+    votes = F.aggregate(
+        hl,
+        zero64,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda b: F.when(
+                    F.when(b < 32, s["lo"].bitwiseAND(F.element_at(p32, b + 1)))
+                    .otherwise(s["hi"].bitwiseAND(F.element_at(p32, b - 31)))
+                    != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    packed = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(F.element_at(votes, i) > 0, F.element_at(p64, i)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+
+
 def simhash_candidates(
-    sim_df: DataFrame, prefix_bits: int = 16, rotations: int = 4
+    sim_df: DataFrame,
+    bands: int = 8,
+    band_bits: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates: ids sharing a rotated simhash prefix. Each
-    rotation is a groupBy key — same shuffle shape as LSH bands."""
-    outs = None
-    for r in range(rotations):
-        rot = F.expr(
-            f"cast((cast(simhash as bigint) << {r * prefix_bits}) as bigint)"
+    """Near-dup candidate pairs with carried signatures:
+    (id_a, id_b, sig_a, sig_b).
+
+    Banding: ``bands`` DISJOINT ``band_bits``-bit slices of the signature
+    (default 8x8). Pigeonhole guarantee: a pair within Hamming distance
+    ``bands - 1`` (= 7 by default) shares at least one identical band, so
+    candidate generation is COMPLETE for any verification threshold
+    <= bands-1 — the round-1 4x16 "rotation" scheme only guaranteed <= 3
+    while verification accepted <= 6, silently missing 4-6-bit pairs.
+
+    Shape: explode band keys -> groupBy (band, key) -> in-bucket pair
+    emission (groupBy + array ops, no self-join, no cache). Signatures ride
+    along in the bucket structs, so verification needs no join-back.
+    """
+    mask = (1 << band_bits) - 1
+    keyed = sim_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), k * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.key")
+    buckets = (
+        keyed.groupBy("band", "key")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("members")
         )
-        key = F.shiftrightunsigned(rot, 64 - prefix_bits)
-        keyed = sim_df.select("id", key.alias("bucket"), F.lit(r).alias("rot"))
-        l, rr = keyed.alias("l"), keyed.alias("r")
-        pairs = l.join(
-            rr,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.rot") == F.col("r.rot"))
-            & (F.col("l.id") < F.col("r.id")),
-        ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        outs = pairs if outs is None else outs.unionByName(pairs)
-    return outs.distinct()
+        .where(F.size("members") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("members") <= max_bucket_size)
+    n = F.size(F.col("members"))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("members"), i + 1, n),
+                        lambda m: F.struct(
+                            F.element_at(F.col("members"), i)["id"].alias("id_a"),
+                            m["id"].alias("id_b"),
+                            F.element_at(F.col("members"), i)["simhash"].alias("sig_a"),
+                            m["simhash"].alias("sig_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.max("sig_a").alias("sig_a"), F.max("sig_b").alias("sig_b")
+    )
+
+
+def simhash_neardup_pairs(
+    sim_df: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    band_bits: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming``: banded candidates
+    + exact bit_count verification. Complete (= equal to the exhaustive
+    all-pairs answer) whenever ``max_hamming <= bands - 1`` and no bucket
+    cap triggers."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding guarantees Hamming <= {bands - 1}; raise bands for {max_hamming}"
+        )
+    cands = simhash_candidates(sim_df, bands, band_bits, max_bucket_size)
+    return (
+        cands.withColumn(
+            "hamming", hamming64(F.col("sig_a"), F.col("sig_b")).cast("long")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -38,23 +38,33 @@ def one_hot(
     df: DataFrame, column: str, categories: Sequence[str], drop_first: bool = True
 ) -> DataFrame:
     """One-hot encode against a FIXED category list: deterministic columns
-    `{column}_{cat}` (0/1 int), unknown categories encode as all-zeros."""
+    `{column}_{cat}` (0/1 int); unknown AND NULL categories encode as
+    all-zeros (eqNullSafe — plain `==` yields NULL for NULL input, which
+    would poison downstream standardize/align; pd.get_dummies gives NaN rows
+    all-zero dummies, reference data_preprocessing_no_indicators.py:144-157)."""
     cats = list(categories)[1:] if drop_first else list(categories)
     out = df
     for c in cats:
         out = out.withColumn(
-            f"{column}_{c}", (F.col(column) == F.lit(c)).cast("int")
+            f"{column}_{c}", F.col(column).eqNullSafe(F.lit(c)).cast("int")
         )
     return out
 
 
-def standardize_fit(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]:
-    """One aggregate pass -> {col: (mean, std)}. Population std would match
-    sklearn's StandardScaler; stddev_samp matches the reference's baseline
-    std (baseline_calculator.py:64) — callers choose via `ddof`-style needs."""
+def standardize_fit(
+    df: DataFrame, cols: Sequence[str], population: bool = False
+) -> dict[str, tuple[float, float]]:
+    """One aggregate pass -> {col: (mean, std)}.
+
+    ``population=True`` uses stddev_pop (ddof=0) — parity with sklearn's
+    StandardScaler on the reference's scaling path
+    (data_preprocessing_no_indicators.py:176). The default stddev_samp
+    (ddof=1) matches the reference's baseline std
+    (baseline_calculator.py:64); pick per which artifact you reproduce."""
+    std = F.stddev_pop if population else F.stddev_samp
     aggs = []
     for c in cols:
-        aggs += [F.avg(c).alias(f"__m_{c}"), F.stddev_samp(c).alias(f"__s_{c}")]
+        aggs += [F.avg(c).alias(f"__m_{c}"), std(c).alias(f"__s_{c}")]
     row = df.agg(*aggs).first()
     return {c: (row[f"__m_{c}"], row[f"__s_{c}"]) for c in cols}
 

@@ -2,19 +2,28 @@
 
 * cosine_expr — JVM-side cosine via zip_with + aggregate (no Python).
 * brute_force_topk — exact top-k neighbors for a set of query vectors:
-  broadcast the queries, one pass over the corpus, per-query top-k via
-  window-free groupBy(min_by/slice of sorted structs). Baseline/oracle path.
+  broadcast the queries, one pass over the corpus, then PARTIAL top-k per
+  input partition merged by a tiny window — reduce-side state is O(k x
+  partitions) per query, never O(corpus) (the round-1 whole-corpus
+  collect_list gather was the scale-killer). Baseline/oracle path.
 * lsh_bucketed_topk — the scale path: random-hyperplane LSH signatures
-  bucket the corpus; queries only score their own bucket (multi-probe via
-  several independent tables). Recall/latency trade governed by (planes,
-  tables).
-* embedding near-dup: pairs above a cosine threshold within LSH buckets.
+  bucket the corpus; queries only score their own bucket, over ``tables``
+  independent hash tables. ALL tables' signatures come from ONE corpus
+  projection against a broadcast hyperplane matrix (one scan, not one per
+  table; no dim x planes literal expressions — codegen stays small at any
+  dim). Recall/latency trade governed by (planes, tables).
+* embedding_neardup_pairs — pairs above a cosine threshold within LSH
+  buckets (multi-table union), verified exactly.
+
+Hyperplanes are seeded-numpy constants shared VERBATIM with the DuckDB
+oracle SQL generators in queries_pipeline (same float literals -> same
+buckets -> the approximate queries are exact-checkable cross-engine).
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,6 +49,54 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _topk_cmp(l: Column, r: Column) -> Column:  # noqa: E741
+    """array_sort comparator: cosine desc, neighbor_id asc (deterministic)."""
+    return (
+        F.when(l["cosine"] > r["cosine"], -1)
+        .when(l["cosine"] < r["cosine"], 1)
+        .when(l["neighbor_id"] < r["neighbor_id"], -1)
+        .when(l["neighbor_id"] > r["neighbor_id"], 1)
+        .otherwise(0)
+    )
+
+
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Scale-safe top-k reduce over (query_id, neighbor_id, cosine):
+
+    1. partial top-k per (query, input-partition) — the collect_list buffer
+       is bounded by one partition's rows, and only k survive it;
+    2. merge the <= k x n_partitions survivors per query with a window —
+       a few hundred rows per query regardless of corpus size.
+    """
+    partial = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .groupBy("query_id", "__pid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("cosine"), F.col("neighbor_id"))),
+                    _topk_cmp,
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    exploded = partial.select("query_id", F.explode("top").alias("t")).select(
+        "query_id",
+        F.col("t.neighbor_id").alias("neighbor_id"),
+        F.col("t.cosine").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exploded.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,7 +106,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cosine), deterministic tie-break
     by neighbor id. Queries are broadcast — corpus is scanned once; the
-    shuffle is only the tiny per-query candidate reduction."""
+    reduce is the bounded partial-top-k merge (see topk_per_query)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -59,27 +116,21 @@ def brute_force_topk(
         "neighbor_id",
         cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
     )
-    ranked = scored.groupBy("query_id").agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cosine"), F.col("neighbor_id"))),
-                lambda l, r: F.when(l["cosine"] > r["cosine"], -1)
-                .when(l["cosine"] < r["cosine"], 1)
-                .when(l["neighbor_id"] < r["neighbor_id"], -1)
-                .when(l["neighbor_id"] > r["neighbor_id"], 1)
-                .otherwise(0),
-            ),
-            1,
-            k,
-        ).alias("top")
-    )
-    return ranked.select(
-        "query_id", F.explode("top").alias("t")
-    ).select(
-        "query_id",
-        F.col("t.neighbor_id").alias("neighbor_id"),
-        F.round(F.col("t.cosine"), 6).alias("cosine"),
-    )
+    return topk_per_query(scored, k)
+
+
+def make_hyperplanes(
+    dim: int, planes: int, tables: int, seed: int
+) -> list[list[list[float]]]:
+    """[table][plane][dim] float matrix, seeded — the SAME values feed the
+    Spark plan (broadcast matrix) and the DuckDB oracle SQL (literals)."""
+    return [
+        np.random.RandomState(seed + 1000 * t)
+        .normal(size=(planes, dim))
+        .astype(float)
+        .tolist()
+        for t in range(tables)
+    ]
 
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
@@ -87,18 +138,48 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     return rng.normal(size=(planes, dim)).astype(float).tolist()
 
 
-def lsh_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
-    """Sign-bit signature as a bigint bucket key (JVM-side dot products)."""
-    bits = []
-    for i, h in enumerate(hyperplanes):
-        arr = F.array(*[F.lit(float(x)) for x in h])
-        bits.append(
-            F.when(dot_expr(vec, arr) >= 0, F.lit(1) * F.lit(2**i)).otherwise(F.lit(0))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+def _matrix_df(df_session, matrix: list[list[list[float]]]):
+    return df_session.createDataFrame(
+        [(matrix,)], "hp array<array<array<double>>>"
+    )
+
+
+def _bucket_of(vec: Column, tbl_planes: Column, planes: int) -> Column:
+    """Sign-bit bucket key of ``vec`` against one table's planes (array of
+    plane vectors). Bit weights come from a power-of-two literal array
+    because shift amounts must be literals inside lambdas."""
+    pow2 = F.array(*[F.lit(1 << i) for i in range(planes)])
+    bits = F.transform(
+        tbl_planes,
+        lambda p, i: F.when(
+            dot_expr(vec, p) >= 0, F.element_at(pow2, i + 1)
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def lsh_keys(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    matrix: list[list[list[float]]],
+    planes: int,
+) -> DataFrame:
+    """(id, vec, table, bucket) — every table's bucket from ONE projection:
+    the hyperplane matrix rides in as a broadcast single-row join, buckets
+    are computed per table with higher-order functions, then posexploded.
+    One scan of ``df`` regardless of the number of hash tables."""
+    mdf = _matrix_df(df.sparkSession, matrix)
+    keyed = df.crossJoin(F.broadcast(mdf)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(
+            F.transform(
+                F.col("hp"), lambda tbl: _bucket_of(F.col(vec_col), tbl, planes)
+            )
+        ).alias("tbl", "bucket"),
+    )
+    return keyed
 
 
 def lsh_bucketed_topk(
@@ -112,60 +193,35 @@ def lsh_bucketed_topk(
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only within matching LSH buckets, over
-    ``tables`` independent hash tables (multi-probe union), then reduce.
-    Bucket join is a plain equi-join -> shuffle keyed on (table, bucket);
-    at 100 TB this is the difference between O(N·Q) and O(N + Q·bucket)."""
+    """Approximate top-k: score only within matching LSH buckets, across
+    ``tables`` independent hash tables (multi-probe union), then the bounded
+    partial-top-k reduce. Bucket join is a plain equi-join -> shuffle keyed
+    on (table, bucket); at 100 TB this is the difference between O(N*Q) and
+    O(N + Q*bucket)."""
     if dim is None:
         first = corpus.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
-    scored_parts = []
-    for t in range(tables):
-        hp = _hyperplanes(dim, planes, seed + 1000 * t)
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            lsh_signature(F.col(vec_col), hp).alias("bucket"),
-        )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            lsh_signature(F.col(vec_col), hp).alias("bucket"),
-        )
-        scored_parts.append(
-            c.join(F.broadcast(q), "bucket")
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
-            )
-        )
-    scored = scored_parts[0]
-    for p in scored_parts[1:]:
-        scored = scored.unionByName(p)
-    scored = scored.groupBy("query_id", "neighbor_id").agg(
-        F.max("cosine").alias("cosine")
+    matrix = make_hyperplanes(dim, planes, tables, seed)
+    c = lsh_keys(corpus, id_col, vec_col, matrix, planes).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "tbl", "bucket"
     )
-    ranked = scored.groupBy("query_id").agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cosine"), F.col("neighbor_id"))),
-                lambda l, r: F.when(l["cosine"] > r["cosine"], -1)
-                .when(l["cosine"] < r["cosine"], 1)
-                .when(l["neighbor_id"] < r["neighbor_id"], -1)
-                .when(l["neighbor_id"] > r["neighbor_id"], 1)
-                .otherwise(0),
-            ),
-            1,
-            k,
-        ).alias("top")
+    q = lsh_keys(queries, id_col, vec_col, matrix, planes).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv"), "tbl", "bucket"
     )
-    return ranked.select("query_id", F.explode("top").alias("t")).select(
-        "query_id",
-        F.col("t.neighbor_id").alias("neighbor_id"),
-        F.round(F.col("t.cosine"), 6).alias("cosine"),
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        # a pair colliding in several tables scores identically each time —
+        # collapse before ranking
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
+    return topk_per_query(scored, k)
 
 
 def embedding_neardup_pairs(
@@ -174,28 +230,32 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     planes: int = 10,
+    tables: int = 1,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= threshold), candidates restricted to
-    equal LSH buckets (high-threshold pairs collide with high probability)."""
+    equal LSH buckets in ANY of ``tables`` hash tables (union raises recall;
+    high-threshold pairs collide with high probability per table)."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
-    hp = _hyperplanes(dim, planes, seed)
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_signature(F.col(vec_col), hp).alias("bucket"),
-    )
-    l, r = keyed.alias("l"), keyed.alias("r")
+    matrix = make_hyperplanes(dim, planes, tables, seed)
+    keyed = lsh_keys(df, id_col, vec_col, matrix, planes)
+    l, r = keyed.alias("l"), keyed.alias("r")  # noqa: E741
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            cosine_expr(F.col("l.v"), F.col("r.v")).alias("cosine"),
+            cosine_expr(F.col("l.vec"), F.col("r.vec")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cosine"), 6).alias("cosine"))
     )

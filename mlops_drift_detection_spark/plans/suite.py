@@ -12,19 +12,25 @@ The engine's flagship entry point (north_rule): over a code-files table
 
 and emits (violations DF, verdicts DF, per-partition summary DF), recording
 each completed partition wave in a CheckpointManifest so a killed run
-resumes without recomputing finished waves.
+resumes without recomputing finished waves. Wave results are persisted to
+the output sink BEFORE each manifest commit (dynamic partition overwrite —
+idempotent under retry), so resume recovers completed waves' ROWS, not just
+their row counts.
 
 Scale shape: every check is a Column-expression filter or a single
 partial-aggregated shuffle; the pass over N rows does O(1) full scans per
 wave (Spark reuses the cached wave slice across checks when it fits, and
 each check is independently pushdown/prune-friendly when it doesn't).
-Logical partitions default to ``pmod(xxhash64(repo), n_buckets)`` — stable,
-uniform-ish, and pruneable by predicate.
+The logical partition is ``pmod(xxhash64(repo), n_buckets)``; when the
+input table is WRITTEN partitioned by that id (``part_id`` hive layout),
+wave filters hit the physical partition column and resume prunes whole
+directories from the scan — I/O-level skipping, not just compute-level.
 """
 
 from __future__ import annotations
 
 import functools
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,11 +109,21 @@ class ValidationSuite:
 
     # ------------------------------------------------------------------- parts
     def with_partition(self, df: DataFrame) -> DataFrame:
+        """Attach the logical partition id.
+
+        If the input ALREADY carries ``part_id`` — i.e. the table was written
+        partitioned by it (datagen ``partition_buckets``, cli
+        ``--partition-input``) — it is used as-is: wave filters then hit the
+        PHYSICAL partition column and Catalyst prunes the untouched
+        directories from the scan, so a resume skips I/O, not just compute.
+        Otherwise the id is derived (pmod(xxhash64(repo), n)) and wave
+        filters only skip compute (every file is still read)."""
+        if PART in df.columns:
+            return df
         return df.withColumn(
             PART,
             F.pmod(F.xxhash64("repo"), F.lit(self.config.n_partition_buckets))
-            .cast("int")
-            .cast("string"),
+            .cast("int"),
         )
 
     # ------------------------------------------------------------- constraints
@@ -211,21 +227,36 @@ class ValidationSuite:
         manifest: CheckpointManifest | None = None,
         resume: bool = False,
         n_waves: int = 1,
+        output_dir: str | None = None,
     ) -> SuiteResult:
         """Full pass. With a manifest, partitions are processed in ``n_waves``
-        groups; each finished wave is checkpointed, and ``resume=True`` skips
-        lineage-compatible completed partitions entirely (their slice is
-        filtered out BEFORE the scan -> partition pruning does the skipping).
+        groups and each finished wave is checkpointed; ``resume=True`` skips
+        lineage-compatible completed partitions. If the input is physically
+        partitioned by ``part_id`` (see :meth:`with_partition`) the skip is
+        I/O-level — pruned directories are never read.
+
+        ``output_dir``: per-wave DURABLE persistence. Each wave's violations
+        and verdicts are written (dynamic partition overwrite keyed on the
+        logical partition — idempotent under wave retry) BEFORE the manifest
+        marks the wave complete, so a kill between waves loses nothing: a
+        resumed run unions its fresh waves with the skipped partitions' rows
+        read back from the sink. Without it, a killed run's completed-wave
+        results exist only in the (lost) driver plan — the manifest would
+        skip their recomputation and the final output would silently omit
+        them.
+
+        Every row this run emits carries a ``run_id`` (reference id-gen
+        pattern: main.py:156 ``pred_{uuid4}``); resumed-in rows keep the
+        run_id of the run that produced them — lineage per row.
         """
         spark = df.sparkSession
+        run_id = f"run_{uuid.uuid4().hex[:12]}"
         dfp = self.with_partition(df)
-        all_parts = [
-            str(p) for p in range(self.config.n_partition_buckets)
-        ]
-        skipped: list[str] = []
+        all_parts = list(range(self.config.n_partition_buckets))
+        skipped_i: list[int] = []
         if manifest is not None and resume:
-            skipped = [p for p in all_parts if manifest.is_complete(p)]
-        todo = [p for p in all_parts if p not in skipped]
+            skipped_i = [p for p in all_parts if manifest.is_complete(str(p))]
+        todo = [p for p in all_parts if p not in skipped_i]
 
         violations_out: DataFrame | None = None
         verdicts_out: DataFrame | None = None
@@ -236,19 +267,30 @@ class ValidationSuite:
         ] if n_waves > 1 else [todo]
         waves = [w for w in waves if w]
 
+        first_wave = True
         for wave in waves:
             slice_df = dfp.where(F.col(PART).isin(wave))
             if self.config.cache_waves:
                 slice_df = slice_df.cache()
-            viol = self.violations(slice_df, commits_dim).cache()
-            verd = self.drift_verdicts(slice_df)
+            viol = self.violations(slice_df, commits_dim).withColumn(
+                "run_id", F.lit(run_id)
+            ).cache()
+            verd = self.drift_verdicts(slice_df).withColumn("run_id", F.lit(run_id))
+            if output_dir is not None:
+                # a fresh (non-resume) run statically overwrites the sink on
+                # its first wave (clearing stale partitions from older runs);
+                # everything else is a dynamic per-partition overwrite
+                dynamic = resume or not first_wave
+                self._persist_wave(viol, f"{output_dir}/violations", dynamic)
+                self._persist_wave(verd, f"{output_dir}/verdicts", dynamic)
+            first_wave = False
             # materialize wave results
             viol_count_by_part = {
                 r["partition"] or "__none__": r["n"]
                 for r in viol.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
             }
             rows_by_part = {
-                r[PART]: r["n"]
+                int(r[PART]): r["n"]
                 for r in slice_df.groupBy(PART).agg(F.count(F.lit(1)).alias("n")).collect()
             }
             n_rows_total += sum(rows_by_part.values())
@@ -262,30 +304,74 @@ class ValidationSuite:
                 for p in wave:
                     manifest.mark_complete(
                         PartitionEntry(
-                            partition=p,
+                            partition=str(p),
                             n_rows=int(rows_by_part.get(p, 0)),
-                            n_violations=int(viol_count_by_part.get(p, 0)),
+                            n_violations=int(viol_count_by_part.get(str(p), 0)),
                             checks_run=list(self.config.checks),
-                            metrics={},
+                            metrics={"run_id": run_id},
                         )
                     )
             slice_df.unpersist()
 
         if violations_out is None:
-            violations_out = C.empty_violations(spark)
+            violations_out = C.empty_violations(spark).withColumn(
+                "run_id", F.lit(run_id)
+            )
         if verdicts_out is None:
             verdicts_out = spark.createDataFrame(
                 [],
                 "partition string, feature string, kind string, psi double, ks double,"
                 " drift_detected boolean, drift_severity string, baseline_mean double,"
                 " current_mean double, mean_change_pct double, baseline_std double,"
-                " current_std double, n_samples long",
+                " current_std double, n_samples long, run_id string",
             )
+        if output_dir is not None and skipped_i:
+            # union back the skipped partitions' durable results (they keep
+            # the run_id of the run that computed them)
+            prior_v = self._read_sink(
+                spark, f"{output_dir}/violations", skipped_i, violations_out.columns
+            )
+            if prior_v is not None:
+                violations_out = violations_out.unionByName(prior_v)
+            prior_d = self._read_sink(
+                spark, f"{output_dir}/verdicts", skipped_i, verdicts_out.columns
+            )
+            if prior_d is not None:
+                verdicts_out = verdicts_out.unionByName(prior_d)
         summary = drift_summary(verdicts_out)
+        if output_dir is not None:
+            summary.write.mode("overwrite").parquet(f"{output_dir}/summary")
         return SuiteResult(
             violations=violations_out,
             verdicts=verdicts_out,
             summary=summary,
             n_rows_validated=n_rows_total,
-            skipped_partitions=skipped,
+            skipped_partitions=[str(p) for p in skipped_i],
+        )
+
+    @staticmethod
+    def _persist_wave(df: DataFrame, path: str, dynamic: bool) -> None:
+        writer = df.write.mode("overwrite").partitionBy("partition")
+        if dynamic:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.parquet(path)
+
+    @staticmethod
+    def _read_sink(
+        spark: SparkSession,
+        path: str,
+        partitions: list[int],
+        columns: list[str],
+    ) -> DataFrame | None:
+        """Read persisted rows for the given logical partitions, normalized
+        back to the in-memory schema (directory-partition columns read back
+        type-inferred as int; a sink that was never written reads as None)."""
+        try:
+            on_disk = spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — absent/empty sink
+            return None
+        return (
+            on_disk.where(F.col("partition").isin(partitions))
+            .withColumn("partition", F.col("partition").cast("string"))
+            .select(*columns)
         )

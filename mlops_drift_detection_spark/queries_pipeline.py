@@ -22,15 +22,15 @@ from pyspark.sql import functions as F
 from mlops_drift_detection_spark.functions.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard,
-    simhash64,
-    simhash_candidates,
-    hamming64,
+    simhash64_native,
+    simhash_neardup_pairs,
 )
 from mlops_drift_detection_spark.functions.similarity import (
     brute_force_topk,
     cosine_expr,
     embedding_neardup_pairs,
     lsh_bucketed_topk,
+    make_hyperplanes,
 )
 from mlops_drift_detection_spark.functions.textstats import (
     STOPWORDS,
@@ -126,21 +126,40 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.9
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signatures (Arrow-vectorized FNV-1a bit
-    voting), rotated-prefix bucketing, Hamming <= 6 verification. Rows-only
-    check: the bit-level kernel is not ANSI-SQL."""
-    docs = _t(spark, sf_dir, "documents")
-    sims = simhash64(docs, "text", "doc_id").cache()
-    cands = simhash_candidates(sims, prefix_bits=16, rotations=4)
-    a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")))
-        .where(F.col("hamming") <= 6)
-        .select("id_a", "id_b", "hamming")
-    )
+    """SimHash near-dup pairs: 64-bit md5-token signatures (all JVM-side),
+    8x8-bit band bucketing, Hamming <= 6 verification.
+
+    Correctness: 8 disjoint 8-bit bands pigeonhole-guarantee that any pair
+    within Hamming 7 shares a band, so the banded output EQUALS the
+    exhaustive all-pairs answer at threshold 6 — which is exactly what the
+    DuckDB oracle computes (same md5 token hashes, brute-force Hamming).
+    Scope doc_id < 400: the oracle is O(n^2) by construction; the Spark
+    path is the banded O(n x bands) shuffle that runs unbounded at scale."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    sims = simhash64_native(docs, "text", "doc_id")
+    return simhash_neardup_pairs(sims, max_hamming=6, bands=8, band_bits=8)
+
+
+SQL_SIMHASH_NEARDUP = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE doc_id < 400),
+h AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+        CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      FROM toks),
+bits AS (SELECT doc_id, b.b AS b,
+        sum(CASE WHEN (CASE WHEN b.b < 32 THEN (lo >> b.b) & 1
+                            ELSE (hi >> (b.b - 32)) & 1 END) = 1
+                 THEN 1 ELSE -1 END) AS vote
+        FROM h CROSS JOIN (SELECT range AS b FROM range(64)) b
+        GROUP BY doc_id, b.b),
+sig AS (SELECT doc_id, b, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS bit FROM bits)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.b = b.b AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 6
+"""
 
 
 # --------------------------------------------------------------------------
@@ -193,27 +212,99 @@ SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.45
 """
 
 
+# LSH parameters shared by the Spark plans AND the DuckDB oracle generators:
+# the hyperplane floats are the SAME literals on both sides, so bucket
+# membership — and therefore the approximate query output — is exactly
+# reproducible cross-engine. The oracle mirrors the LSH *spec*; exhaustive
+# ground truth is covered by cosine_topk / embedding_neardup_exact, and
+# pytest asserts LSH recall against those.
+ANN_PLANES, ANN_TABLES, ANN_SEED, EMB_DIM = 6, 4, 42, 64
+NEARDUP_PLANES, NEARDUP_TABLES, NEARDUP_SEED, NEARDUP_THRESHOLD = 4, 4, 42, 0.45
+
+
+def _sql_lsh_bucket(ve: str, tbl_planes: list[list[float]]) -> str:
+    terms = []
+    for i, p in enumerate(tbl_planes):
+        lit = "[" + ",".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({ve}, {lit}) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_lsh_keys(matrix: list[list[list[float]]]) -> str:
+    """UNION ALL of per-table (vec_id, ve, tbl, bucket) selects over v."""
+    parts = [
+        f"SELECT vec_id, ve, {t} AS tbl, {_sql_lsh_bucket('ve', tbl)} AS bucket FROM v"
+        for t, tbl in enumerate(matrix)
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (4 tables, 6
-    planes -> 64 buckets, sized so buckets hold ~n/64 vectors): the
-    O(N + Q*bucket) scale path. Rows-only check (probabilistic recall,
-    deterministic given the fixed seed)."""
+    """Approximate top-k via random-hyperplane LSH buckets (4 tables x 6
+    planes -> 64 buckets/table), all tables' signatures from ONE corpus scan
+    (broadcast hyperplane matrix + posexplode): the O(N + Q*bucket) scale
+    path. Oracle: the same LSH spec mirrored in SQL with identical
+    hyperplane literals (exhaustive ground truth = cosine_topk; recall vs
+    exact is pytest-asserted in test_similarity)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return lsh_bucketed_topk(
         emb, queries, id_col="vec_id", vec_col="embedding", k=10,
-        planes=6, tables=4, seed=42, dim=64,
+        planes=ANN_PLANES, tables=ANN_TABLES, seed=ANN_SEED, dim=EMB_DIM,
     )
+
+
+def _sql_ann_lsh_topk() -> str:
+    matrix = make_hyperplanes(EMB_DIM, ANN_PLANES, ANN_TABLES, ANN_SEED)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+     ck AS ({_sql_lsh_keys(matrix)}),
+     qk AS (SELECT * FROM ck WHERE vec_id < 5),
+     cand AS (SELECT DISTINCT qk.vec_id AS query_id, ck.vec_id AS neighbor_id
+              FROM qk JOIN ck ON qk.tbl = ck.tbl AND qk.bucket = ck.bucket
+              WHERE ck.vec_id <> qk.vec_id),
+     s AS (SELECT cand.query_id, cand.neighbor_id,
+                  list_dot_product(a.ve, b.ve)
+                  / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS c
+           FROM cand JOIN v a ON a.vec_id = cand.query_id
+                     JOIN v b ON b.vec_id = cand.neighbor_id),
+     r AS (SELECT query_id, neighbor_id, c,
+                  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+           FROM s)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine FROM r WHERE rk <= 10
+"""
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs (scale path; candidates only within equal
-    sign-bit buckets). Rows-only: bucket membership is not ANSI-SQL."""
+    sign-bit buckets, unioned over 4 hash tables for recall). Oracle: the
+    same bucketing spec mirrored in SQL (identical hyperplane literals);
+    the exhaustive baseline is embedding_neardup_exact."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
         emb, id_col="vec_id", vec_col="embedding",
-        threshold=0.45, planes=4, seed=42, dim=64,
+        threshold=NEARDUP_THRESHOLD, planes=NEARDUP_PLANES,
+        tables=NEARDUP_TABLES, seed=NEARDUP_SEED, dim=EMB_DIM,
     )
+
+
+def _sql_embedding_neardup_lsh() -> str:
+    matrix = make_hyperplanes(EMB_DIM, NEARDUP_PLANES, NEARDUP_TABLES, NEARDUP_SEED)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+     ck AS ({_sql_lsh_keys(matrix)}),
+     pair AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+              FROM ck l JOIN ck r ON l.tbl = r.tbl AND l.bucket = r.bucket
+              WHERE l.vec_id < r.vec_id),
+     s AS (SELECT pair.id_a, pair.id_b,
+                  list_dot_product(a.ve, b.ve)
+                  / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS c
+           FROM pair JOIN v a ON a.vec_id = pair.id_a
+                     JOIN v b ON b.vec_id = pair.id_b)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM s WHERE c >= {NEARDUP_THRESHOLD}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -379,16 +470,15 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_profile": q_media_profile,
 }
 
-# rows-only entries (simhash_neardup, ann_lsh_topk, embedding_neardup_lsh,
-# media_profile) intentionally have no oracle: LSH bucketing / bit kernels /
-# Arrow featurizers are not ANSI-SQL-expressible. The driver records the
-# weaker rows-only check for them.
 PIPELINE_ORACLES: dict[str, str] = {
     "dedup_fingerprint_groups": SQL_DEDUP_FINGERPRINT_GROUPS,
     "dedup_keep_min_by_lang": SQL_DEDUP_KEEP_MIN_BY_LANG,
     "minhash_lsh_jaccard": SQL_MINHASH_LSH_JACCARD,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP_EXACT,
+    "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,

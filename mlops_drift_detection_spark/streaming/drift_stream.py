@@ -96,8 +96,14 @@ def foreach_batch_validator(
     micro-batch: category histogram -> merged counts -> reference-exact PSI.
 
     ``baseline`` supplies expected category counts (dict cat -> count).
-    Verdicts are appended to ``out_rows`` (tests) and/or ``sink_path``
-    (parquet append) — at scale the sink is an Iceberg verdicts table.
+    Verdicts are appended to ``out_rows`` (tests) and/or ``sink_path``.
+
+    Idempotency: foreachBatch side effects are at-least-once — a micro-batch
+    retried after a failure re-runs this callback. The sink write is
+    therefore a *dynamic partition overwrite keyed on batch_id*: a retry
+    rewrites its own batch_id partition instead of appending a duplicate
+    verdict row. At scale the sink is an Iceberg verdicts table and the same
+    pattern is a replace-partition (or MERGE on batch_id) commit.
     """
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -119,9 +125,13 @@ def foreach_batch_validator(
         if out_rows is not None:
             out_rows.append(verdict)
         if sink_path is not None:
-            batch_df.sparkSession.createDataFrame([verdict]).write.mode(
-                "append"
-            ).parquet(sink_path)
+            (
+                batch_df.sparkSession.createDataFrame([verdict])
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(sink_path)
+            )
 
     return _on_batch
 

@@ -81,8 +81,113 @@ def test_simhash_near_dups(docs):
 
 
 def test_simhash_candidates(docs):
-    sim = D.simhash64(docs, "text", "id")
+    sim = D.simhash64_native(docs, "text", "id")
     pairs = {
-        (r["id_a"], r["id_b"]) for r in D.simhash_candidates(sim, prefix_bits=12).collect()
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_candidates(sim, bands=8, band_bits=8).collect()
     }
     assert (0, 1) in pairs and (3, 4) in pairs
+
+
+def test_simhash_native_matches_python_reference(spark):
+    """JVM md5-simhash vs an independent pure-python implementation."""
+    import hashlib
+
+    def ref(text):
+        toks = text.strip().lower().split() or [""]
+        votes = [0] * 64
+        for t in toks:
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            hi, lo = hv >> 32, hv & 0xFFFFFFFF
+            for b in range(64):
+                bit = (lo >> b) & 1 if b < 32 else (hi >> (b - 32)) & 1
+                votes[b] += 1 if bit else -1
+        packed = 0
+        for b in range(64):
+            if votes[b] > 0:
+                packed |= 1 << b
+        return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma delta epsilon",
+        "one two three four five six seven",
+        "",
+        "single",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {r["id"]: r["simhash"] for r in D.simhash64_native(df, "text", "id").collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), f"doc {i}"
+
+
+def test_simhash_banding_complete_vs_exhaustive(spark):
+    """8x8 banding finds EVERY pair with Hamming <= 6 (the round-1 4x16
+    rotation scheme missed 4-6-bit pairs): compare against brute force."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    base = rng.getrandbits(63)
+    sigs = [base]
+    for _ in range(30):  # perturb 0-9 random bits off a shared base
+        s = base
+        for b in rng.sample(range(64), rng.randint(0, 9)):
+            s ^= 1 << b
+        sigs.append(s)
+    to_i64 = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+    df = spark.createDataFrame(
+        [(i, to_i64(s)) for i, s in enumerate(sigs)], "id long, simhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_neardup_pairs(df, max_hamming=6).collect()
+    }
+    expected = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(sigs), 2):
+        h = bin(a ^ b).count("1")
+        if h <= 6:
+            expected[(i, j)] = h
+    assert got == expected
+
+
+def test_simhash_neardup_threshold_guard(spark):
+    df = spark.createDataFrame([(0, 1)], "id long, simhash long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.simhash_neardup_pairs(df, max_hamming=9, bands=8)
+
+
+def test_minhash_bucket_cap_drops_boilerplate_only(spark):
+    """Planted mega-bucket (many identical boilerplate docs): with a cap the
+    job stays bounded and the NON-boilerplate verified pairs are identical
+    to the uncapped run on the clean corpus."""
+    clean = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "spark shuffle partitions broadcast join adaptive execution"),
+    ]
+    boiler = [(100 + i, "boilerplate header text repeated verbatim") for i in range(40)]
+    df_clean = spark.createDataFrame(clean, "id long, text string")
+    df_all = spark.createDataFrame(clean + boiler, "id long, text string")
+
+    def pairs(df, cap):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_candidates(
+                df, "text", "id", num_hashes=32, bands=16, shingle_k=3,
+                max_bucket_size=cap,
+            ).collect()
+        }
+
+    uncapped_clean = pairs(df_clean, None)
+    capped_all = pairs(df_all, 10)
+    # boilerplate bucket (40 members) dropped; clean pairs intact
+    assert {p for p in capped_all if p[0] < 100 and p[1] < 100} == uncapped_clean
+    assert not any(p[0] >= 100 for p in capped_all)
+    # and the audit view reports exactly what the cap dropped
+    audit = D.oversized_bucket_stats(
+        df_all, "text", "id", num_hashes=32, bands=16, shingle_k=3, max_bucket_size=10
+    ).collect()
+    assert audit and all(r["size"] == 40 for r in audit)

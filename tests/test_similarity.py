@@ -82,3 +82,20 @@ def test_embedding_neardup(vecs):
     df, _ = vecs
     pairs = S.embedding_neardup_pairs(df, threshold=0.95, planes=8, dim=DIM).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(7, 8)}
+
+
+def test_lsh_topk_single_corpus_scan(spark, tmp_path, vecs):
+    """All hash tables' signatures come from ONE scan of the corpus (the
+    round-1 plan re-scanned it once per table): count parquet scans of the
+    corpus path in the physical plan — expect exactly 2 (corpus + the tiny
+    query-side read), not 1 + tables."""
+    df, _ = vecs
+    path = str(tmp_path / "emb.parquet")
+    df.write.parquet(path)
+    on_disk = spark.read.parquet(path)
+    queries = on_disk.where(F.col("vec_id") < 3)
+    plan = S.lsh_bucketed_topk(
+        on_disk, queries, k=3, planes=5, tables=6, dim=DIM
+    )._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, f"expected <=2 parquet scans, saw {n_scans}"

@@ -111,6 +111,91 @@ def test_kill_and_resume(data, tmp_path):
     assert res.n_rows_validated == full_rows - rows_done_before
 
 
+def test_run_id_stamped(data):
+    _, cf, cm, baseline = data
+    suite = ValidationSuite(baseline, SuiteConfig(n_partition_buckets=4))
+    res = suite.run(cf, cm)
+    vids = {r["run_id"] for r in res.violations.select("run_id").distinct().collect()}
+    dids = {r["run_id"] for r in res.verdicts.select("run_id").distinct().collect()}
+    assert len(vids) == 1 and vids == dids
+    assert next(iter(vids)).startswith("run_") and len(next(iter(vids))) == 16
+
+
+def test_physical_partitioning_prunes_scan(data, spark, tmp_path):
+    """With the input written partitionBy(part_id), a wave filter must read
+    ONLY the matching directories: distinct input files under the filter are
+    a strict subset of the table's files. This is the I/O half of resume —
+    the round-1 derived-column filter re-read every file."""
+    from mlops_drift_detection_spark.datagen import with_part_id
+
+    spec, cf, cm, baseline = data
+    n_buckets = 8
+    path = str(tmp_path / "cf_part")
+    with_part_id(cf, n_buckets).write.mode("overwrite").partitionBy("part_id").parquet(path)
+    on_disk = spark.read.parquet(path)
+
+    total_files = {
+        r["f"]
+        for r in on_disk.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    pruned_files = {
+        r["f"]
+        for r in on_disk.where(F.col("part_id").isin([0, 1]))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert pruned_files and pruned_files < total_files
+    assert all("part_id=0" in f or "part_id=1" in f for f in pruned_files)
+
+    # and the suite actually runs off the physical column: same violation
+    # totals as the derived-partition path
+    suite = ValidationSuite(baseline, SuiteConfig(n_partition_buckets=n_buckets))
+    res = suite.run(on_disk, cm)
+    exp = expected_violation_counts(spec)
+    assert res.violations.count() == (
+        exp["duplicates"] + exp["dangling"] + 3 * exp["null_lang"]
+    )
+
+
+def test_kill_resume_recovers_persisted_wave_rows(data, tmp_path):
+    """THE resume-durability property: violations/verdicts of waves completed
+    BEFORE a kill must appear in the resumed run's final output (they are
+    persisted per wave, pre-manifest-commit — not recomputed, not lost)."""
+    spec, cf, cm, baseline = data
+    cfg = SuiteConfig(n_partition_buckets=8)
+    suite = ValidationSuite(baseline, cfg)
+    mdir = str(tmp_path / "manifest")
+    odir = str(tmp_path / "out")
+    lineage = {"input": "fixture-v1"}
+
+    killed = _KilledAfter(mdir, lineage, die_after=3)
+    with pytest.raises(KeyboardInterrupt):
+        suite.run(cf, cm, manifest=killed, n_waves=8, output_dir=odir)
+    done_before = {p.partition for p in killed.completed_partitions()}
+    assert len(done_before) == 3
+
+    m2 = CheckpointManifest(mdir, lineage)
+    res = suite.run(cf, cm, manifest=m2, resume=True, n_waves=8, output_dir=odir)
+    assert set(res.skipped_partitions) == done_before
+
+    # full-run reference (no manifest): byte-identical violation multiset
+    ref = suite.run(cf, cm)
+    key = lambda r: (r["partition"], r["check"], r["column"], r["repo"], r["path"], r["commit"], r["detail"])  # noqa: E731
+    got = sorted(key(r) for r in res.violations.collect())
+    want = sorted(key(r) for r in ref.violations.collect())
+    assert got == want
+    # verdicts cover every partition, including pre-kill ones
+    verd_parts = {r["partition"] for r in res.verdicts.collect()}
+    assert done_before <= verd_parts
+    # recovered rows keep the ORIGINAL run's id; fresh rows get the new one
+    recovered = res.violations.where(F.col("partition").isin(list(done_before)))
+    fresh = res.violations.where(~F.col("partition").isin(list(done_before)))
+    rid_old = {r["run_id"] for r in recovered.select("run_id").distinct().collect()}
+    rid_new = {r["run_id"] for r in fresh.select("run_id").distinct().collect()}
+    assert len(rid_old) == 1 and len(rid_new) == 1 and rid_old != rid_new
+
+
 def test_resume_refuses_stale_lineage(data, tmp_path):
     _, cf, cm, baseline = data
     mdir = str(tmp_path / "manifest2")

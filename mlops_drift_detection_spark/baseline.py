@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_PSI_BINS = 10  # reference: baseline_calculator.py:73
@@ -54,16 +54,27 @@ class CategoricalBaseline:
 
 
 @dataclass
+class BinaryBaseline:
+    """Reference ``categorical_distributions`` entry: the proportion of ones
+    of a strictly-{0,1} column (baseline_calculator.py:53-58)."""
+
+    proportion_ones: float
+    n: int
+
+
+@dataclass
 class BaselineSnapshot:
     n_samples: int
     numerical: dict[str, NumericalBaseline] = field(default_factory=dict)
     categorical: dict[str, CategoricalBaseline] = field(default_factory=dict)
+    binary: dict[str, BinaryBaseline] = field(default_factory=dict)
 
     def to_dict(self) -> dict[str, Any]:
         return {
             "n_samples": self.n_samples,
             "numerical": {k: vars(v) for k, v in self.numerical.items()},
             "categorical": {k: vars(v) for k, v in self.categorical.items()},
+            "binary": {k: vars(v) for k, v in self.binary.items()},
         }
 
     @classmethod
@@ -73,6 +84,9 @@ class BaselineSnapshot:
             numerical={k: NumericalBaseline(**v) for k, v in d["numerical"].items()},
             categorical={
                 k: CategoricalBaseline(**v) for k, v in d["categorical"].items()
+            },
+            binary={
+                k: BinaryBaseline(**v) for k, v in d.get("binary", {}).items()
             },
         )
 
@@ -201,5 +215,76 @@ def _f(x) -> float:
         return 0.0
     x = float(x)
     return 0.0 if math.isnan(x) else x
+
+
+# ---------------------------------------------------------------------------
+# SO2: data-driven binary-categorical dispatch + degenerate-bin compat mode
+# ---------------------------------------------------------------------------
+
+def binary_flag(c: Column) -> Column:
+    """Aggregate expression: TRUE iff the column's OBSERVED values are
+    exactly {0, 1} with no nulls — the reference's dispatch rule
+    (baseline_calculator.py:48-50: ``len(unique)==2 and unique ⊆ {0,1}``)
+    made scale-safe. Instead of a distinct-count (expensive on continuous
+    columns), the same predicate follows from min==0 ∧ max==1 ∧ all values
+    integral ∧ no nulls — one agg pass, exact."""
+    return (
+        (F.count(F.when(c.isNull(), 1)) == 0)
+        & (F.min(c) == 0)
+        & (F.max(c) == 1)
+        & (F.max(F.abs(c.cast("double") - F.round(c.cast("double")))) == 0)
+    )
+
+
+def detect_binary_columns(df: DataFrame, cols: list[str]) -> dict[str, bool]:
+    """One aggregate pass -> {col: is_binary} for every candidate column."""
+    if not cols:
+        return {}
+    row = df.agg(
+        *[binary_flag(F.col(c)).alias(f"__b_{c}") for c in cols]
+    ).collect()[0]
+    return {c: bool(row[f"__b_{c}"]) for c in cols}
+
+
+def compute_baseline_auto(
+    df: DataFrame,
+    feature_cols: list[str],
+    categorical_cols: list[str] | None = None,
+    exact_quantiles: bool = False,
+    degenerate_bins_compat: bool = False,
+) -> BaselineSnapshot:
+    """Baseline with the reference's DATA-DRIVEN type dispatch: a feature
+    column whose observed values are exactly {0,1} takes the binary
+    proportion path; everything else is numerical. String columns go in
+    ``categorical_cols`` explicitly (the reference has none at this stage).
+
+    ``degenerate_bins_compat=True`` reproduces the SHIPPED reference
+    artifact's behavior (SURVEY §1.3/§7): because StandardScaler ran before
+    baseline computation there, no column is 0/1 anymore — every would-be
+    binary column falls through to the numerical qcut path, whose duplicate
+    -edge drop leaves a degenerate 2-edge/1-count bin set, so PSI on it is
+    ~0 and binary drift is UNDETECTABLE. Keep it off ("native" mode) for a
+    working engine; turn it on only to reproduce reference verdicts
+    bit-for-bit against the shipped baseline_stats.json."""
+    flags = (
+        {c: False for c in feature_cols}
+        if degenerate_bins_compat
+        else detect_binary_columns(df, feature_cols)
+    )
+    numerical = [c for c in feature_cols if not flags[c]]
+    snap = compute_baseline(
+        df, numerical, list(categorical_cols or []), exact_quantiles=exact_quantiles
+    )
+    binary_cols = [c for c in feature_cols if flags[c]]
+    if binary_cols:
+        row = df.agg(
+            *[F.avg(F.col(c).cast("double")).alias(f"__p_{c}") for c in binary_cols],
+            *[F.count(c).alias(f"__n_{c}") for c in binary_cols],
+        ).collect()[0]
+        for c in binary_cols:
+            snap.binary[c] = BinaryBaseline(
+                proportion_ones=_f(row[f"__p_{c}"]), n=int(row[f"__n_{c}"])
+            )
+    return snap
 
 

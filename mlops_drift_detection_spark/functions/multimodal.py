@@ -76,6 +76,32 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     )
 
 
+def media_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MEDIA_SCHEMA rows derived deterministically from a REAL table: the
+    payload is the utf-8 bytes of the text column, kind cycles by id. Lets
+    the media pipeline be validated against an oracle that recomputes the
+    same features from the source characters (ASCII corpus: code point ==
+    payload byte), instead of against freestanding synthetic rows."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.when(kind == "image", (F.pmod(F.col(id_col), F.lit(8)) + 1) * 64)
+        .otherwise(F.lit(-1)).cast("long").alias("width"),
+        F.when(kind == "image", (F.pmod(F.col(id_col), F.lit(4)) + 1) * 64)
+        .otherwise(F.lit(-1)).cast("long").alias("height"),
+        F.when(kind != "image", (F.pmod(F.col(id_col), F.lit(30)) + 1) * 1000)
+        .otherwise(F.lit(-1)).cast("long").alias("duration_ms"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
 def extract_features(
     media: DataFrame, decode_mode: str = "fake", feature_dim: int = 16
 ) -> DataFrame:

@@ -82,6 +82,16 @@ def standardize_transform(
     return out
 
 
+def drop_null_rows(
+    df: DataFrame, cols: Sequence[str] | None = None, how: str = "any"
+) -> DataFrame:
+    """P7 residual-row filter (reference ``dropna()``,
+    data_preprocessing.py:122-133): drop rows with nulls in ``cols`` (all
+    columns when None). ``how='any'|'all'`` as pandas. Pure filter — stays
+    in the scan's pushdown path."""
+    return df.na.drop(how=how, subset=list(cols) if cols else None)
+
+
 def impute_fit(
     df: DataFrame,
     numeric_cols: Sequence[str] = (),

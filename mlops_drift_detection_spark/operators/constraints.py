@@ -141,6 +141,40 @@ def range_violations(
     )
 
 
+def contains_violations(
+    df: DataFrame, column: str, token: str, forbid: bool = True
+) -> DataFrame:
+    """F5 string rule (reference: str.contains('_missing'),
+    evaluate_test.py:108): ``forbid=True`` -> rows CONTAINING the token
+    violate; ``forbid=False`` -> rows NOT containing it violate."""
+    hit = F.col(column).contains(token)
+    cond = hit if forbid else ~hit
+    word = "contains" if forbid else "missing"
+    return _shape(
+        df.where(F.col(column).isNotNull() & cond),
+        "contains",
+        column,
+        F.lit(f"{word} '{token}'"),
+    )
+
+
+def endswith_violations(
+    df: DataFrame, column: str, suffix: str, forbid: bool = True
+) -> DataFrame:
+    """F5 string rule (reference: endswith('_missing'),
+    data_preprocessing.py:170): suffix-match constraint, same polarity
+    convention as :func:`contains_violations`."""
+    hit = F.col(column).endswith(suffix)
+    cond = hit if forbid else ~hit
+    word = "endswith" if forbid else "does not end with"
+    return _shape(
+        df.where(F.col(column).isNotNull() & cond),
+        "endswith",
+        column,
+        F.lit(f"{word} '{suffix}'"),
+    )
+
+
 def regex_violations(df: DataFrame, column: str, pattern: str) -> DataFrame:
     """Rows NOT matching the pattern (e.g. commit ~ ^[0-9a-f]{40}$)."""
     return _shape(

@@ -230,6 +230,48 @@ def proportion_drift(
     )
 
 
+def auto_drift_verdicts(
+    df: DataFrame,
+    baseline: BaselineSnapshot,
+    partition_col: str | None = None,
+    strategy: str = "native",
+    psi_threshold: float = PSI_ALARM_THRESHOLD,
+) -> DataFrame:
+    """Dispatch every baseline feature down its kind's path — numerical
+    (PSI/KS histogram), categorical (frozen category list) or binary
+    (reference's exact proportion test) — exactly as ``detect_drift``
+    dispatches on snapshot membership (drift_detector.py:264-267), with the
+    kind decided DATA-DRIVEN at baseline time (compute_baseline_auto).
+    Returns one unioned verdicts DataFrame."""
+    parts: list[DataFrame] = []
+    for feat in baseline.numerical:
+        parts.append(
+            numerical_drift(
+                df, feat, baseline, partition_col=partition_col,
+                strategy=strategy, psi_threshold=psi_threshold,
+            )
+        )
+    for feat in baseline.categorical:
+        parts.append(
+            categorical_drift(
+                df, feat, baseline, partition_col=partition_col,
+                psi_threshold=psi_threshold,
+            )
+        )
+    for feat, b in baseline.binary.items():
+        parts.append(
+            proportion_drift(
+                df, feat, b.proportion_ones, partition_col=partition_col
+            )
+        )
+    if not parts:
+        raise ValueError("baseline has no features")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def drift_summary(verdicts: DataFrame) -> DataFrame:
     """Per-partition rollup with the reference's exact summary semantics
     (drift_detector.py:277-293): drift %, overall flag, severity

@@ -666,6 +666,207 @@ FROM events GROUP BY 1
 """
 
 
+def q_dropna_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: residual-row dropna (data_preprocessing.py:122-133) — drop rows
+    with a null value, then profile what survives."""
+    from mlops_drift_detection_spark.functions.preprocess import drop_null_rows
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        drop_null_rows(ev, ["value"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_DROPNA_RESIDUAL = """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+"""
+
+
+def q_string_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: contains/endswith string constraint rules (evaluate_test.py:108,
+    data_preprocessing.py:170) run through the engine's violation ops over a
+    code_files-shaped projection of documents."""
+    from mlops_drift_detection_spark.operators.constraints import (
+        contains_violations,
+        endswith_violations,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.format_string("doc/%05d", F.col("doc_id").cast("int")).alias("path"),
+        "text",
+    )
+    c1 = contains_violations(docs, "text", "data", forbid=True)
+    c2 = endswith_violations(docs, "repo", "3", forbid=True)
+    return c1.unionByName(c2).select("check", "column", "repo", "path", "detail")
+
+
+SQL_STRING_RULES = """
+WITH d AS (SELECT source AS repo, printf('doc/%05d', doc_id::INT) AS path, text
+           FROM documents)
+SELECT 'contains' AS "check", 'text' AS "column", repo, path,
+       'contains ''data''' AS detail
+FROM d WHERE text IS NOT NULL AND contains(text, 'data')
+UNION ALL
+SELECT 'endswith' AS "check", 'repo' AS "column", repo, path,
+       'endswith ''3''' AS detail
+FROM d WHERE repo IS NOT NULL AND suffix(repo, '3')
+"""
+
+
+def q_binary_dispatch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2: data-driven binary-categorical dispatch (baseline_calculator.py:
+    48-50): features whose observed values are exactly {0,1} take the
+    proportion path, everything else the numerical path. Emits
+    (feature, kind, stat) — stat is proportion-of-ones for binary, mean
+    otherwise."""
+    from mlops_drift_detection_spark.baseline import detect_binary_columns
+
+    feats = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("f_nchars"),
+        (F.col("doc_id") % 2).cast("double").alias("f_even"),
+        (F.col("doc_id") % 3).cast("double").alias("f_mod3"),
+    )
+    cols = ["f_nchars", "f_even", "f_mod3"]
+    flags = detect_binary_columns(feats, cols)
+    row = feats.agg(*[F.round(F.avg(c), 6).alias(c) for c in cols]).collect()[0]
+    return spark.createDataFrame(
+        [
+            (c, "binary" if flags[c] else "numerical", float(row[c]))
+            for c in cols
+        ],
+        "feature string, kind string, stat double",
+    )
+
+
+SQL_BINARY_DISPATCH_PROFILE = """
+WITH f AS (SELECT CAST(n_chars AS DOUBLE) AS f_nchars,
+                  CAST(doc_id % 2 AS DOUBLE) AS f_even,
+                  CAST(doc_id % 3 AS DOUBLE) AS f_mod3
+           FROM documents),
+s AS (SELECT count(*) AS n,
+             count(f_nchars) AS nn1, min(f_nchars) AS mn1, max(f_nchars) AS mx1,
+             max(abs(f_nchars - round(f_nchars, 0))) AS fr1, round(avg(f_nchars), 6) AS av1,
+             count(f_even) AS nn2, min(f_even) AS mn2, max(f_even) AS mx2,
+             max(abs(f_even - round(f_even, 0))) AS fr2, round(avg(f_even), 6) AS av2,
+             count(f_mod3) AS nn3, min(f_mod3) AS mn3, max(f_mod3) AS mx3,
+             max(abs(f_mod3 - round(f_mod3, 0))) AS fr3, round(avg(f_mod3), 6) AS av3
+      FROM f)
+SELECT 'f_nchars' AS feature,
+       CASE WHEN nn1 = n AND mn1 = 0 AND mx1 = 1 AND fr1 = 0 THEN 'binary' ELSE 'numerical' END AS kind,
+       av1 AS stat FROM s
+UNION ALL
+SELECT 'f_even',
+       CASE WHEN nn2 = n AND mn2 = 0 AND mx2 = 1 AND fr2 = 0 THEN 'binary' ELSE 'numerical' END,
+       av2 FROM s
+UNION ALL
+SELECT 'f_mod3',
+       CASE WHEN nn3 = n AND mn3 = 0 AND mx3 = 1 AND fr3 = 0 THEN 'binary' ELSE 'numerical' END,
+       av3 FROM s
+"""
+
+
+def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: schema-enforced CSV sink + scan roundtrip through the engine's
+    io layer (reference pd.read_csv/to_csv, data_preprocessing.py:316,
+    332-337): values surviving the roundtrip must aggregate identically to
+    the parquet original (which is what the oracle computes)."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mlops_drift_detection_spark.sources.io import read_table, write_table
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    path = f"{tmp}/docs_csv"
+    write_table(docs, path, fmt="csv")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    back = read_table(spark, path, fmt="csv", schema=schema)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+SQL_CSV_ROUNDTRIP_STATS = """
+SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY lang
+"""
+
+
+def q_append_log_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: append-only log sink, date-partitioned (database.py:20-54 append +
+    main.py:271-275 lookback): write events through append_log, read the log
+    back and run the 24h-window count — the timestamp predicate becomes
+    log_date partition pruning on the sink layout."""
+    import tempfile
+
+    from mlops_drift_detection_spark.sources.io import append_log
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="append_log_")
+    path = f"{tmp}/events_log"
+    append_log(ev, path, ts_col="ts")
+    log = spark.read.parquet(path)
+    cutoff = log.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("cutoff"))
+    return (
+        log.crossJoin(F.broadcast(cutoff))
+        .where(F.col("ts") >= F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_APPEND_LOG_WINDOW = """
+WITH c AS (SELECT max(ts) - INTERVAL 24 HOUR AS cutoff FROM events)
+SELECT event_type, count(*) AS n FROM events, c WHERE ts >= cutoff GROUP BY event_type
+"""
+
+
+def q_schema_align_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: schema-alignment onto a fixed column template (preprocessing.py:
+    63-68): two differently-shaped halves aligned to one template (missing
+    columns materialize as 0), unioned, profiled."""
+    from mlops_drift_detection_spark.functions.preprocess import align_to_template
+
+    docs = _t(spark, sf_dir, "documents")
+    template = ["doc_id", "n_chars", "bonus"]
+    a = align_to_template(
+        docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars"), template
+    )
+    b = align_to_template(
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "n_chars", (F.col("n_chars") * 2).alias("bonus")
+        ),
+        template,
+    )
+    return a.unionByName(b).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("bonus").alias("total_bonus"),
+    )
+
+
+SQL_SCHEMA_ALIGN_PROFILE = """
+SELECT count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 ELSE 0 END) AS BIGINT) AS total_bonus
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -701,6 +902,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "impute_median": q_impute_median,
     "stratified_split_counts": q_stratified_split_counts,
     "null_gap_audit": q_null_gap_audit,
+    "dropna_residual": q_dropna_residual,
+    "string_rules": q_string_rules,
+    "binary_dispatch_profile": q_binary_dispatch_profile,
+    "csv_roundtrip_stats": q_csv_roundtrip_stats,
+    "append_log_window": q_append_log_window,
+    "schema_align_profile": q_schema_align_profile,
     **PIPELINE_QUERIES,
 }
 
@@ -730,5 +937,11 @@ ORACLES: dict[str, str] = {
     "impute_median": SQL_IMPUTE_MEDIAN,
     "stratified_split_counts": SQL_STRATIFIED_SPLIT_COUNTS,
     "null_gap_audit": SQL_NULL_GAP_AUDIT,
+    "dropna_residual": SQL_DROPNA_RESIDUAL,
+    "string_rules": SQL_STRING_RULES,
+    "binary_dispatch_profile": SQL_BINARY_DISPATCH_PROFILE,
+    "csv_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
+    "append_log_window": SQL_APPEND_LOG_WINDOW,
+    "schema_align_profile": SQL_SCHEMA_ALIGN_PROFILE,
     **PIPELINE_ORACLES,
 }

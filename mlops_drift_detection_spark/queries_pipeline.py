@@ -438,21 +438,46 @@ FROM documents GROUP BY source
 # --------------------------------------------------------------------------
 
 def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode->featurize->profile over a deterministic synthetic media table:
-    exercises the full mapInPandas Arrow path (schema, batching, per-kind
-    features). Rows-only: the byte-histogram featurizer is not ANSI-SQL."""
+    """Decode -> featurize -> profile over media derived from the REAL
+    documents table (payload = utf-8 bytes of text, kind from doc_id):
+    exercises the full mapInPandas Arrow path — binary schema, batching,
+    byte-histogram featurizer — against a DuckDB oracle that recomputes the
+    same features from the characters (the corpus is ASCII, so char code
+    points ARE the payload bytes; the float32 feature truncation is
+    mirrored with CAST AS FLOAT)."""
     from mlops_drift_detection_spark.functions.multimodal import (
         extract_features,
-        synth_media,
+        media_from_documents,
     )
 
-    media = synth_media(spark, n=120, seed=42)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    media = media_from_documents(docs)
     feats = extract_features(media, decode_mode="fake", feature_dim=16)
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
     )
+
+
+SQL_MEDIA_PROFILE = """
+WITH d AS (SELECT doc_id, text,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                                  ELSE 'video' END AS kind
+           FROM documents WHERE doc_id < 120),
+b AS (SELECT doc_id, kind, octet_length(encode(text)) AS n_bytes,
+             list_transform(string_split(text, ''), c -> unicode(c) % 16) AS folded
+      FROM d),
+f AS (SELECT doc_id, kind, n_bytes,
+             CAST(len(list_filter(folded, v -> v = 0)) AS DOUBLE) AS h0,
+             sqrt(CAST((SELECT sum(cnt * cnt) FROM (
+                 SELECT count(*) AS cnt FROM unnest(folded) AS t(v) GROUP BY v
+             )) AS DOUBLE)) AS nrm
+      FROM b)
+SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(CAST(h0 / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS FLOAT)), 6) AS avg_f0
+FROM f GROUP BY kind
+"""
 
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -482,4 +507,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,
+    "media_profile": SQL_MEDIA_PROFILE,
 }

@@ -108,3 +108,92 @@ def test_qcut_edges_unit():
     # constant -> fallback still yields usable edges
     e = qcut_edges([5.0] * 11, 5.0, 5.0)
     assert len(e) >= 2
+
+
+# --------------------------------------------------------------------------
+# SO2: data-driven binary dispatch + degenerate-bin compat mode
+# --------------------------------------------------------------------------
+
+def _dispatch_df(spark, shift=False):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 400
+    p_ones = 0.8 if shift else 0.2
+    pdf = pd.DataFrame(
+        {
+            "num": rng.normal(50, 10, n),
+            "bin01": (rng.uniform(size=n) < p_ones).astype(float),
+            "tri": rng.randint(0, 3, n).astype(float),
+            "const0": [0.0] * n,
+            "bin_null": [1.0, 0.0, None] * (n // 3) + [0.0] * (n % 3),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_detect_binary_columns(spark):
+    from mlops_drift_detection_spark.baseline import detect_binary_columns
+
+    df = _dispatch_df(spark)
+    flags = detect_binary_columns(df, ["num", "bin01", "tri", "const0", "bin_null"])
+    # reference rule (baseline_calculator.py:48-50): EXACTLY {0,1} observed
+    assert flags == {
+        "num": False,
+        "bin01": True,
+        "tri": False,
+        "const0": False,   # len(unique)==1, not 2
+        "bin_null": False, # NaN in unique set breaks the subset test
+    }
+
+
+def test_compute_baseline_auto_dispatch(spark):
+    from mlops_drift_detection_spark.baseline import compute_baseline_auto
+
+    df = _dispatch_df(spark)
+    snap = compute_baseline_auto(df, ["num", "bin01"], exact_quantiles=True)
+    assert "bin01" in snap.binary and "bin01" not in snap.numerical
+    assert "num" in snap.numerical
+    prop = snap.binary["bin01"].proportion_ones
+    assert 0.1 < prop < 0.3
+
+
+def test_binary_snapshot_roundtrip(spark, tmp_path):
+    from mlops_drift_detection_spark.baseline import compute_baseline_auto
+
+    snap = compute_baseline_auto(
+        _dispatch_df(spark), ["num", "bin01"], exact_quantiles=True
+    )
+    p = str(tmp_path / "b.json")
+    snap.save(p)
+    loaded = BaselineSnapshot.load(p)
+    assert loaded.to_dict() == snap.to_dict()
+
+
+def test_degenerate_bins_compat_reproduces_reference_blindspot(spark):
+    """The SHIPPED reference artifact's bug, behind the flag (SURVEY §1.3/§7):
+    compat mode routes a 0/1 column down the numerical qcut path, whose
+    duplicate-edge drop leaves 2-edge/1-count bins -> PSI ~ 0 even under a
+    massive proportion shift (drift UNDETECTABLE); native mode's proportion
+    test alarms on the same shift."""
+    from mlops_drift_detection_spark.baseline import compute_baseline_auto
+    from mlops_drift_detection_spark.operators.drift import auto_drift_verdicts
+
+    base_df = _dispatch_df(spark, shift=False)
+    drifted_df = _dispatch_df(spark, shift=True)  # 0.2 -> 0.8 proportion of 1s
+
+    compat = compute_baseline_auto(
+        base_df, ["bin01"], exact_quantiles=True, degenerate_bins_compat=True
+    )
+    assert "bin01" in compat.numerical and not compat.binary
+    nb = compat.numerical["bin01"]
+    assert nb.bins == [0.0, 1.0]  # degenerate 2-edge/1-count set
+    compat_verdicts = auto_drift_verdicts(drifted_df, compat).collect()
+    assert all(not r["drift_detected"] for r in compat_verdicts)  # blind
+
+    native = compute_baseline_auto(base_df, ["bin01"], exact_quantiles=True)
+    native_verdicts = auto_drift_verdicts(drifted_df, native).collect()
+    assert len(native_verdicts) == 1
+    r = native_verdicts[0]
+    assert r["kind"] == "categorical_binary"
+    assert r["drift_detected"] and r["drift_severity"] == "high"

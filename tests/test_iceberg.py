@@ -1,0 +1,79 @@
+"""Iceberg adapter: append commits, snapshot isolation, time travel.
+
+The sandbox has no iceberg-spark runtime jar, so these tests exercise the
+EMULATED path (the adapter's real path is the same interface over
+format("iceberg") — see sources/iceberg.py docstring for what is and isn't
+emulated)."""
+
+import json
+import os
+
+import pytest
+
+from mlops_drift_detection_spark.sources.iceberg import (
+    IcebergTableIO,
+    iceberg_available,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return IcebergTableIO(spark, str(tmp_path / "tbl"), force_emulation=True)
+
+
+def test_runtime_detection_is_honest(spark):
+    # this container ships no iceberg jar; if one appears, the adapter
+    # should start using it (and this assertion should be updated)
+    assert iceberg_available(spark) is False
+
+
+def test_append_and_read(table, spark):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    s1 = table.append(df1)
+    s2 = table.append(df2)
+    assert s1 != s2
+    got = sorted((r["id"], r["v"]) for r in table.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    snaps = table.snapshots()
+    assert [s["sequence"] for s in snaps] == [1, 2]
+    assert all(s["operation"] == "append" for s in snaps)
+
+
+def test_time_travel(table, spark):
+    s1 = table.append(spark.createDataFrame([(1,)], "id long"))
+    table.append(spark.createDataFrame([(2,)], "id long"))
+    by_id = sorted(r["id"] for r in table.read(as_of_snapshot=s1).collect())
+    assert by_id == [1]
+    by_seq = sorted(r["id"] for r in table.read(as_of_snapshot=1).collect())
+    assert by_seq == [1]
+    assert sorted(r["id"] for r in table.read().collect()) == [1, 2]
+
+
+def test_unpublished_commit_is_invisible(table, spark, tmp_path):
+    """Snapshot isolation under a kill: data files written but never
+    published in the snapshot log must not be readable — the log swap IS
+    the commit."""
+    table.append(spark.createDataFrame([(1,)], "id long"))
+    # simulate a killed append: write a data dir directly, no publish
+    torn = os.path.join(table._data_dir, "commit-deadbeef")
+    spark.createDataFrame([(99,)], "id long").write.parquet(torn)
+    assert sorted(r["id"] for r in table.read().collect()) == [1]
+    # and a torn LOG write (tmp file left behind) is equally invisible
+    with open(table._log_path + ".tmp.999", "w") as f:
+        f.write("{corrupt")
+    assert sorted(r["id"] for r in table.read().collect()) == [1]
+
+
+def test_empty_table_raises(table):
+    with pytest.raises(ValueError):
+        table.read()
+
+
+def test_snapshot_log_is_valid_json_after_many_commits(table, spark):
+    for i in range(5):
+        table.append(spark.createDataFrame([(i,)], "id long"))
+    with open(table._log_path) as f:
+        log = json.load(f)
+    assert len(log) == 5
+    assert table.read().count() == 5

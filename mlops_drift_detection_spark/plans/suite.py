@@ -275,7 +275,9 @@ class ValidationSuite:
             viol = self.violations(slice_df, commits_dim).withColumn(
                 "run_id", F.lit(run_id)
             ).cache()
-            verd = self.drift_verdicts(slice_df).withColumn("run_id", F.lit(run_id))
+            verd = self.drift_verdicts(slice_df).withColumn(
+                "run_id", F.lit(run_id)
+            ).cache()  # tiny (O(partitions x features)); reused thrice below
             if output_dir is not None:
                 # a fresh (non-resume) run statically overwrites the sink on
                 # its first wave (clearing stale partitions from older runs);
@@ -289,9 +291,14 @@ class ValidationSuite:
                 r["partition"] or "__none__": r["n"]
                 for r in viol.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
             }
+            # per-partition row counts come FREE from the drift job: the
+            # numerical verdict's n_samples is count(*) of its partition
+            # (drift_detector.py:284 semantics) — no dedicated count scan
             rows_by_part = {
-                int(r[PART]): r["n"]
-                for r in slice_df.groupBy(PART).agg(F.count(F.lit(1)).alias("n")).collect()
+                int(r["partition"]): int(r["n_samples"])
+                for r in verd.where(F.col("feature") == F.lit(CONTENT_LEN))
+                .select("partition", "n_samples")
+                .collect()
             }
             n_rows_total += sum(rows_by_part.values())
             violations_out = (

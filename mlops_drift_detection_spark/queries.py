@@ -867,6 +867,69 @@ FROM documents
 """
 
 
+def q_salted_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path (north_rule mega-repo handling): deterministic salted
+    TWO-PHASE aggregation — groupBy(key, salt) partial then groupBy(key)
+    merge — must produce exactly the single-phase answer, which is what the
+    oracle computes. The salt bounds any one reduce task's share of a
+    mega-key to 1/buckets of its rows."""
+    from mlops_drift_detection_spark.operators.skew import salted_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_agg(
+        docs,
+        keys=["source"],
+        partial_aggs={
+            "__c": F.count(F.lit(1)),
+            "__s": F.sum("n_chars"),
+        },
+        final_aggs={
+            "n": F.sum("__c"),
+            "total_chars": F.sum("__s"),
+            "mean_chars": F.round(F.sum("__s") / F.sum("__c"), 4),
+        },
+        salt_cols=["doc_id"],
+        salt_buckets=16,
+    )
+
+
+SQL_SALTED_SOURCE_STATS = """
+SELECT source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) / count(*), 4) AS mean_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 at scale: HLL distinct (approx_count_distinct, the profiler's
+    distinct path) self-checked against the exact count INSIDE the plan —
+    the sketch itself is engine-specific, so the emitted columns are the
+    exact count plus a verified relative-error bound (rsd 0.01 -> assert
+    within 5%), both of which the oracle reproduces."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", 0.01).alias("__hll"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("__hll") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+    )
+
+
+SQL_HLL_DISTINCT_CHECK = """
+SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+       true AS hll_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -908,6 +971,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
     "append_log_window": q_append_log_window,
     "schema_align_profile": q_schema_align_profile,
+    "salted_source_stats": q_salted_source_stats,
+    "hll_distinct_check": q_hll_distinct_check,
     **PIPELINE_QUERIES,
 }
 
@@ -943,5 +1008,7 @@ ORACLES: dict[str, str] = {
     "csv_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
     "append_log_window": SQL_APPEND_LOG_WINDOW,
     "schema_align_profile": SQL_SCHEMA_ALIGN_PROFILE,
+    "salted_source_stats": SQL_SALTED_SOURCE_STATS,
+    "hll_distinct_check": SQL_HLL_DISTINCT_CHECK,
     **PIPELINE_ORACLES,
 }

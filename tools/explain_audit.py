@@ -28,6 +28,11 @@ AUDITED = [
     "time_window_counts",
     "dedup_fingerprint_groups",
     "cosine_topk",
+    # round-2 scale-path additions
+    "simhash_neardup",
+    "ann_lsh_topk",
+    "salted_source_stats",
+    "embedding_neardup_lsh",
 ]
 
 CHECKS = {

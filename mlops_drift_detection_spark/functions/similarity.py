@@ -224,6 +224,80 @@ def lsh_bucketed_topk(
     return topk_per_query(scored, k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, vec, cid) — each vector's ``nprobe`` highest-cosine centroids
+    (deterministic tie-break by cid). Centroids ride in as a broadcast;
+    one scan of ``df``; assignment is a projection + bounded window."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col("cid"),
+        cosine_expr(F.col(vec_col), F.col("cvec")).alias("__cs"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__cs"), F.asc("cid"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= nprobe)
+        .select("id", "vec", "cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    centroid_ids: list[int] | None = None,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer buckets the corpus
+    (each vector -> its single nearest centroid), queries probe their
+    ``nprobe`` nearest centroid lists, and only those lists are scored —
+    the inverted-file alternative to the hyperplane-LSH path.
+
+    The quantizer here is SAMPLED, not trained: centroids are the corpus
+    vectors at ``centroid_ids`` (deterministic — the same rows an oracle
+    can select), standing in for a k-means codebook. At 100 TB you would
+    train the codebook once offline (Lloyd iterations are plain
+    groupBy-avg DataFrame passes) and broadcast it exactly the same way;
+    recall-vs-exact is pytest-asserted either way.
+
+    Shape: one corpus scan for assignment (broadcast centroids), shuffle
+    keyed on cid, per-query scoring bounded by the probed lists, then the
+    partial-top-k merge. A (query, neighbor) pair appears at most once —
+    the corpus side has exactly one cid per vector — so no dedup stage.
+    """
+    if centroid_ids is None:
+        centroid_ids = [17 * i for i in range(n_centroids)]
+    cents = corpus.where(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    c = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "cid"
+    )
+    q = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv"), "cid"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    return topk_per_query(scored, k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -230,6 +230,128 @@ def proportion_drift(
     )
 
 
+def fused_two_feature_drift(
+    df: DataFrame,
+    num_col: str,
+    cat_col: str,
+    baseline: BaselineSnapshot,
+    partition_col: str | None = None,
+    strategy: str = "native",
+    psi_threshold: float = PSI_ALARM_THRESHOLD,
+) -> DataFrame:
+    """numerical_drift(num_col) + categorical_drift(cat_col) from ONE scan.
+
+    Both features' needs are carried by a single micro-aggregate keyed on
+    (partition, bucket, category) — O(partitions x bins x categories) rows.
+    The two marginals then re-aggregate that micro-table; because both
+    branches consume the IDENTICAL shuffle, Spark's ReuseExchange runs the
+    scan + partial aggregation once (verified in tests). Output rows are
+    bit-identical to the two separate operators — this is purely a physical
+    fusion: at 100 TB it removes one full scan + one full-data shuffle from
+    every validation wave.
+    """
+    nb = baseline.numerical[num_col]
+    cb = baseline.categorical[cat_col]
+    edges = nb.bins
+    n_bins = max(len(edges) - 1, 1)
+    part = (
+        F.col(partition_col).cast("string") if partition_col else F.lit("__all__")
+    )
+    # null category -> sentinel IN THE PROJECTION so no branch needs its own
+    # null filter; the dense array below reads only the frozen categories,
+    # so sentinel and unknown keys drop out exactly like categorical_counts'
+    # isin filter.
+    proj = df.select(
+        part.alias("partition"),
+        bucket_column(F.col(num_col).cast("double"), edges, strategy).alias("__b"),
+        F.coalesce(F.col(cat_col), F.lit("__null__")).alias("__cat"),
+        F.col(num_col).cast("double").alias("__v"),
+    )
+    micro = proj.groupBy("partition", "__b", "__cat").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.count("__v").alias("__cnt_val"),
+        F.sum("__v").alias("__sum"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__sum2"),
+    )
+    # Materialize the micro-table ONCE (lazy local checkpoint: computed on
+    # the first action, O(partitions x bins x categories) rows) and hang
+    # both marginals off it. Without this, per-branch column pruning makes
+    # the two exchange subplans non-identical, ReuseExchange cannot fire,
+    # and the input is scanned twice. Checkpoint blocks are freed by the
+    # ContextCleaner once the wave's DataFrames go out of scope.
+    micro = micro.localCheckpoint(eager=False)
+
+    # ---- numerical marginal (identical pipeline to numerical_drift) ----
+    per_bucket = micro.groupBy("partition", "__b").agg(
+        F.sum("__cnt").alias("__cnt"),
+        F.sum("__cnt_val").alias("__cnt_val"),
+        F.sum("__sum").alias("__sum"),
+        F.sum("__sum2").alias("__sum2"),
+    )
+    grouped = per_bucket.groupBy("partition").agg(
+        F.map_from_arrays(
+            F.collect_list(F.coalesce(F.col("__b"), F.lit(-1))),
+            F.collect_list("__cnt"),
+        ).alias("__m"),
+        F.sum("__cnt").alias("__n_all"),
+        F.sum("__cnt_val").alias("__n_val"),
+        F.sum("__sum").alias("__tsum"),
+        F.sum("__sum2").alias("__tsum2"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda i: F.coalesce(F.col("__m")[i].cast("double"), F.lit(0.0)),
+    )
+    n = F.col("__n_val").cast("double")
+    mean = F.when(n > 0, F.col("__tsum") / n).otherwise(F.lit(0.0))
+    var = (F.col("__tsum2") - F.col("__tsum") * F.col("__tsum") / n) / (n - 1)
+    std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(0.0))
+    num_grouped = grouped.select(
+        "partition",
+        dense.alias("counts"),
+        mean.alias("cur_mean"),
+        std.alias("cur_std"),
+        F.col("__n_all").alias("n_samples"),
+    )
+    num_verdicts = _finalize(
+        num_grouped, num_col, "numerical", nb.counts, nb.mean, nb.std, psi_threshold
+    )
+
+    # ---- categorical marginal (identical pipeline to categorical_drift) ----
+    cat_pairs = (
+        micro.groupBy("partition", "__cat")
+        .agg(F.sum("__cnt").alias("__ccnt"))
+        .groupBy("partition")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("__cat"), F.collect_list("__ccnt")
+            ).alias("__cm")
+        )
+    )
+    cat_dense = F.array(
+        *[
+            F.coalesce(F.col("__cm")[F.lit(c)].cast("double"), F.lit(0.0))
+            for c in cb.categories
+        ]
+    )
+    cat_counts = cat_pairs.select("partition", cat_dense.alias("counts"))
+    total = F.aggregate(F.col("counts"), F.lit(0.0), lambda a, x: a + x)
+    top_prop = F.when(total > 0, F.col("counts")[0] / total).otherwise(F.lit(0.0))
+    baseline_top_prop = cb.proportions[0] if cb.proportions else 0.0
+    cat_grouped = cat_counts.select(
+        "partition",
+        "counts",
+        top_prop.alias("cur_mean"),
+        F.lit(0.0).alias("cur_std"),
+        total.cast("long").alias("n_samples"),
+    )
+    cat_verdicts = _finalize(
+        cat_grouped, cat_col, "categorical", cb.counts, baseline_top_prop, 0.0,
+        psi_threshold,
+    )
+    return num_verdicts.unionByName(cat_verdicts)
+
+
 def auto_drift_verdicts(
     df: DataFrame,
     baseline: BaselineSnapshot,

@@ -39,9 +39,8 @@ from pyspark.sql import functions as F
 from mlops_drift_detection_spark.baseline import BaselineSnapshot, compute_baseline
 from mlops_drift_detection_spark.operators import constraints as C
 from mlops_drift_detection_spark.operators.drift import (
-    categorical_drift,
     drift_summary,
-    numerical_drift,
+    fused_two_feature_drift,
 )
 from mlops_drift_detection_spark.plans.manifest import (
     CheckpointManifest,
@@ -198,26 +197,22 @@ class ValidationSuite:
 
     # ------------------------------------------------------------------- drift
     def drift_verdicts(self, df: DataFrame) -> DataFrame:
+        """Both drift features from ONE scan: the fused operator's shared
+        micro-aggregate + ReuseExchange replaces the two separate
+        full-data aggregations (scan count per wave drops by one)."""
         cfg = self.config
         prepared = df.select(
             PART, "lang", F.length("content").cast("double").alias(CONTENT_LEN)
         )
-        num = numerical_drift(
+        return fused_two_feature_drift(
             prepared,
             CONTENT_LEN,
+            "lang",
             self.baseline,
             partition_col=PART,
             strategy=cfg.binning_strategy,
             psi_threshold=cfg.psi_threshold,
         )
-        cat = categorical_drift(
-            prepared,
-            "lang",
-            self.baseline,
-            partition_col=PART,
-            psi_threshold=cfg.psi_threshold,
-        )
-        return num.unionByName(cat)
 
     # --------------------------------------------------------------------- run
     def run(

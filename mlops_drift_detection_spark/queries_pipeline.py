@@ -29,6 +29,7 @@ from mlops_drift_detection_spark.functions.similarity import (
     brute_force_topk,
     cosine_expr,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
     make_hyperplanes,
 )
@@ -277,6 +278,52 @@ SELECT query_id, neighbor_id, round(c, 6) AS cosine FROM r WHERE rk <= 10
 """
 
 
+IVF_CENTROID_IDS = [17 * i for i in range(32)]
+IVF_NPROBE = 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: sampled-centroid coarse quantizer (32 lists),
+    queries probe their 4 nearest lists. The oracle mirrors the IVF spec —
+    centroids are table rows both engines select, assignment/probing is
+    argmax-cosine with the same tie-breaks. Recall vs exact is asserted in
+    test_similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10,
+        centroid_ids=IVF_CENTROID_IDS, nprobe=IVF_NPROBE,
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+     cents AS (SELECT vec_id AS cid, ve AS cvec FROM v
+               WHERE vec_id IN ({', '.join(str(i) for i in IVF_CENTROID_IDS)})),
+     ca AS (SELECT v.vec_id, v.ve, cents.cid,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.ve, cents.cvec)
+                              / (sqrt(list_dot_product(v.ve, v.ve))
+                                 * sqrt(list_dot_product(cents.cvec, cents.cvec))) DESC,
+                              cents.cid ASC) AS rk
+            FROM v CROSS JOIN cents),
+     corpus AS (SELECT vec_id AS neighbor_id, ve AS cv, cid FROM ca WHERE rk = 1),
+     probes AS (SELECT vec_id AS query_id, ve AS qv, cid FROM ca
+                WHERE rk <= {IVF_NPROBE} AND vec_id < 5),
+     s AS (SELECT probes.query_id, corpus.neighbor_id,
+                  list_dot_product(probes.qv, corpus.cv)
+                  / (sqrt(list_dot_product(probes.qv, probes.qv))
+                     * sqrt(list_dot_product(corpus.cv, corpus.cv))) AS c
+           FROM probes JOIN corpus USING (cid)
+           WHERE corpus.neighbor_id <> probes.query_id),
+     r AS (SELECT query_id, neighbor_id, c,
+                  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+           FROM s)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine FROM r WHERE rk <= 10
+"""
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs (scale path; candidates only within equal
     sign-bit buckets, unioned over 4 hash tables for recall). Oracle: the
@@ -488,6 +535,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "text_quality_profile": q_text_quality_profile,
     "language_id_counts": q_language_id_counts,
@@ -503,6 +551,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP_EXACT,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,

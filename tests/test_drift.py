@@ -153,3 +153,51 @@ def test_psi_merged_not_averaged(spark, baseline_and_data):
     p1 = numerical_drift(d1, "v", snap).collect()[0]["psi"]
     p2 = numerical_drift(d2, "v", snap).collect()[0]["psi"]
     assert p1 == p2
+
+
+def test_fused_two_feature_drift_equals_separate(spark):
+    """fused_two_feature_drift is a PHYSICAL fusion only: verdict rows must
+    be exactly the separate operators' union, and the physical plan must
+    reuse the shared exchange (one scan, not two)."""
+    import pandas as pd
+
+    from mlops_drift_detection_spark.baseline import compute_baseline
+    from mlops_drift_detection_spark.operators.drift import (
+        categorical_drift,
+        fused_two_feature_drift,
+        numerical_drift,
+    )
+
+    rng = __import__("numpy").random.RandomState(3)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "part": [str(i % 4) for i in range(n)],
+            "lang": rng.choice(["a", "b", "c"], n, p=[0.5, 0.3, 0.2]),
+            "ln": rng.lognormal(5, 0.5, n),
+        }
+    )
+    # plant nulls + out-of-range values on both columns
+    pdf.loc[:20, "lang"] = None
+    pdf.loc[21:40, "ln"] = None
+    df = spark.createDataFrame(pdf)
+    baseline = compute_baseline(df, ["ln"], ["lang"], exact_quantiles=True)
+
+    fused = fused_two_feature_drift(df, "ln", "lang", baseline, partition_col="part")
+    sep = numerical_drift(df, "ln", baseline, partition_col="part").unionByName(
+        categorical_drift(df, "lang", baseline, partition_col="part")
+    )
+    key = lambda r: (r["partition"], r["feature"])  # noqa: E731
+    got = {key(r): r.asDict() for r in fused.collect()}
+    want = {key(r): r.asDict() for r in sep.collect()}
+    assert got == want
+
+    # physical shape: after the micro-table checkpoint materializes (ONE
+    # pass over the input), neither marginal touches the source again —
+    # the final plan reads only the checkpointed RDD
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final or "LogicalRDD" in final or final.count("Scan") == 0
+    assert "Scan parquet" not in final and "LocalTableScan" not in final.replace(
+        "Scan ExistingRDD", ""
+    )

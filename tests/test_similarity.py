@@ -84,6 +84,25 @@ def test_embedding_neardup(vecs):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(7, 8)}
 
 
+def test_ivf_topk_recall_and_planted_pair(vecs):
+    df, m = vecs
+    queries = df.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(df, queries, k=3).collect()
+    approx = S.ivf_topk(
+        df, queries, k=3, centroid_ids=[11 * i for i in range(10)], nprobe=3
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # gaussians are the worst case for coarse IVF
+    # the planted near-identical pair lands in the same inverted list
+    approx7 = S.ivf_topk(
+        df, df.where(F.col("vec_id") == 7), k=1,
+        centroid_ids=[11 * i for i in range(10)], nprobe=3,
+    ).collect()
+    assert approx7 and approx7[0]["neighbor_id"] == 8
+
+
 def test_lsh_topk_single_corpus_scan(spark, tmp_path, vecs):
     """All hash tables' signatures come from ONE scan of the corpus (the
     round-1 plan re-scanned it once per table): count parquet scans of the

@@ -8,8 +8,12 @@ needs numpy (Arrow-batched, never per-row Python).
 * exact_duplicates / dedup_exact — hash-groupBy on content digest.
 * minhash_lsh_candidates — shingle -> K minhashes -> B bands -> bucket join.
   Shuffle volume is O(rows x B), candidates only within equal band-buckets.
-* simhash64 — 64-bit SimHash from token hashes (weighted bit voting) via a
-  vectorized pandas UDF; near-dups = equal values on rotated prefix bands.
+* simhash64_native — 64-bit SimHash entirely JVM-side (md5 token hashes —
+  engine-portable, so DuckDB oracles reproduce signatures bit-for-bit);
+  simhash64 — the same algorithm as an Arrow-vectorized pandas UDF (FNV-1a),
+  kept as the §2.10 vectorized-UDF surface. Near-dup candidates come from
+  8 DISJOINT 8-bit bands (pigeonhole: any pair within Hamming bands-1
+  shares a band -> candidate generation is COMPLETE for thresholds <= 7).
 * ngram_jaccard — exact Jaccard on n-gram sets for a candidate pair set
   (verification stage after LSH).
 """

@@ -84,6 +84,24 @@ def test_embedding_neardup(vecs):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(7, 8)}
 
 
+def test_brute_force_topk_partial_merge_across_partitions(vecs):
+    """The partial-top-k-per-input-partition merge must be invariant to how
+    the corpus is partitioned (the per-partition slice keeps k candidates;
+    the merge window restores the global order)."""
+    df, m = vecs
+    queries = df.where(F.col("vec_id").isin([0, 7]))
+    base = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in S.brute_force_topk(df.coalesce(1), queries, k=5).collect()
+    }
+    for nparts in (3, 13):
+        got = {
+            (r["query_id"], r["neighbor_id"], r["cosine"])
+            for r in S.brute_force_topk(df.repartition(nparts), queries, k=5).collect()
+        }
+        assert got == base, f"nparts={nparts}"
+
+
 def test_ivf_topk_recall_and_planted_pair(vecs):
     df, m = vecs
     queries = df.where(F.col("vec_id") < 10)

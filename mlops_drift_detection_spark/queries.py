@@ -930,6 +930,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star per-column statistics through the engine's one-pass
+    profiler (operators/profiler.py): every requested column's null count /
+    rate, moments, min/max and quantiles from ONE aggregate over the scan
+    (string columns profile length(col)). The HLL distinct field is
+    engine-specific and pytest-covered (and tolerance-checked by
+    hll_distinct_check); the oracle mirrors the exact fields."""
+    from mlops_drift_detection_spark.operators.profiler import profile
+
+    docs = _t(spark, sf_dir, "documents")
+    p = profile(docs, ["n_chars", "text"], exact_quantiles=True)
+    return p.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round("null_rate", 6).alias("null_rate"),
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+        F.round(F.element_at("quantiles", 1), 4).alias("q25"),
+        F.round(F.element_at("quantiles", 2), 4).alias("q50"),
+        F.round(F.element_at("quantiles", 3), 4).alias("q75"),
+    )
+
+
+def _sql_profile_col(name: str, val: str) -> str:
+    return f"""
+SELECT '{name}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {val} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       round(avg(CASE WHEN {val} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate,
+       round(avg({val}), 4) AS mean,
+       round(stddev_samp({val}), 4) AS std,
+       round(CAST(min({val}) AS DOUBLE), 4) AS min,
+       round(CAST(max({val}) AS DOUBLE), 4) AS max,
+       round(quantile_cont({val}, 0.25), 4) AS q25,
+       round(quantile_cont({val}, 0.5), 4) AS q50,
+       round(quantile_cont({val}, 0.75), 4) AS q75
+FROM documents"""
+
+
+SQL_COLUMN_PROFILE = (
+    _sql_profile_col("n_chars", "n_chars")
+    + " UNION ALL "
+    + _sql_profile_col("text", "length(text)")
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -973,6 +1021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_align_profile": q_schema_align_profile,
     "salted_source_stats": q_salted_source_stats,
     "hll_distinct_check": q_hll_distinct_check,
+    "column_profile": q_column_profile,
     **PIPELINE_QUERIES,
 }
 
@@ -1010,5 +1059,6 @@ ORACLES: dict[str, str] = {
     "schema_align_profile": SQL_SCHEMA_ALIGN_PROFILE,
     "salted_source_stats": SQL_SALTED_SOURCE_STATS,
     "hll_distinct_check": SQL_HLL_DISTINCT_CHECK,
+    "column_profile": SQL_COLUMN_PROFILE,
     **PIPELINE_ORACLES,
 }

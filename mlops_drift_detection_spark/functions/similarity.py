@@ -133,11 +133,6 @@ def make_hyperplanes(
     ]
 
 
-def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
-    rng = np.random.RandomState(seed)
-    return rng.normal(size=(planes, dim)).astype(float).tolist()
-
-
 def _matrix_df(df_session, matrix: list[list[list[float]]]):
     return df_session.createDataFrame(
         [(matrix,)], "hp array<array<array<double>>>"

@@ -4,10 +4,14 @@ oracles where the semantics are SQL-expressible.
 
 Design notes (scale-first):
 * Every dedup/similarity candidate generation is a key-partitioned shuffle
-  (digest groupBy, LSH band-bucket join) — never an all-pairs product.
+  (digest groupBy, LSH band/IVF bucket join) — never an all-pairs product.
   The *oracle-facing* exact variants restrict to deterministic subsets so
-  DuckDB can cross-join them; the LSH variants are the 100 TB path and are
-  registered as rows-only checks (LSH bucketing is not ANSI-SQL).
+  DuckDB can cross-join them; the LSH/IVF variants are the 100 TB path and
+  are ALSO oracle-checked, by construction: SimHash signatures are
+  md5-based (cross-engine reproducible) with pigeonhole-complete banding,
+  and the hyperplane/centroid queries share their exact parameters with
+  SQL mirrors of the bucketing spec (recall vs the exhaustive baselines is
+  pytest-asserted in test_similarity/test_dedup).
 * Text analysis is pure Column expressions (JVM codegen); the oracle SQL is
   generated from the same stopword profiles so both sides share one spec.
 """
@@ -108,6 +112,10 @@ def q_minhash_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     9,020 pairs at j>=0.9); the bound keeps the verified-pair output, not
     the LSH machinery, from dominating the benchmark."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    # uncapped here BY DESIGN: this corpus's big band buckets are genuinely
+    # mutually-similar docs the exhaustive oracle also pairs up — a cap
+    # would drop true positives. The cap + oversized-bucket audit is for
+    # degenerate boilerplate at scale (see test_minhash_bucket_cap_*).
     cands = minhash_lsh_candidates(
         docs, "text", "doc_id", num_hashes=64, bands=16, shingle_k=1
     )

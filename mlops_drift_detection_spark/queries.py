@@ -820,10 +820,14 @@ def q_append_log_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{tmp}/events_log"
     append_log(ev, path, ts_col="ts")
     log = spark.read.parquet(path)
-    cutoff = log.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("cutoff"))
+    # resolve the cutoff to a LITERAL first (tiny agg), so the window scan
+    # carries a log_date partition predicate Catalyst can prune with —
+    # filtering only on ts would re-list every date directory
+    cutoff = log.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("c")).collect()[0]["c"]
     return (
-        log.crossJoin(F.broadcast(cutoff))
-        .where(F.col("ts") >= F.col("cutoff"))
+        log.where(
+            (F.col("log_date") >= F.lit(cutoff.date())) & (F.col("ts") >= F.lit(cutoff))
+        )
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )

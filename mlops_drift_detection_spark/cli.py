@@ -95,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
             "part_id"
         ).parquet(part_path)
         cf = spark.read.parquet(part_path)
+        # the partitioned copy IS the validated input from here on — record
+        # it as the manifest lineage so a later `--input <part_path> --resume`
+        # run is lineage-compatible and can skip completed partitions
+        args.input = part_path
     cm = spark.read.parquet(args.commits_dim) if args.commits_dim else None
 
     if args.baseline and os.path.exists(args.baseline):

@@ -33,6 +33,8 @@ AUDITED = [
     "ann_lsh_topk",
     "salted_source_stats",
     "embedding_neardup_lsh",
+    "ann_ivf_topk",
+    "column_profile",
 ]
 
 CHECKS = {

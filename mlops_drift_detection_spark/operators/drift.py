@@ -49,6 +49,13 @@ VERDICT_SCHEMA = (
     "current_std double, n_samples long"
 )
 
+# Sentinel for NULL category values inside the fused (feature, key) explode.
+# Never read back: the dense count vector indexes only the frozen category
+# list, so the sentinel (like any unknown category) drops out exactly as
+# categorical_counts' isin filter drops it.
+_NULL_KEY = "\x00__null__"
+_BIN_KEY = "__bin__"
+
 
 def _finalize(
     grouped: DataFrame,
@@ -336,6 +343,10 @@ def fused_two_feature_drift(
     )
     cat_counts = cat_pairs.select("partition", cat_dense.alias("counts"))
     total = F.aggregate(F.col("counts"), F.lit(0.0), lambda a, x: a + x)
+    # a partition with rows but NO frozen-category hits emits no row from
+    # categorical_drift (the isin filter drops it before its groupBy) —
+    # mirror that so fusion stays bit-identical, not just value-close
+    cat_counts = cat_counts.where(total > 0)
     top_prop = F.when(total > 0, F.col("counts")[0] / total).otherwise(F.lit(0.0))
     baseline_top_prop = cb.proportions[0] if cb.proportions else 0.0
     cat_grouped = cat_counts.select(
@@ -352,19 +363,228 @@ def fused_two_feature_drift(
     return num_verdicts.unionByName(cat_verdicts)
 
 
+def fused_drift_verdicts(
+    df: DataFrame,
+    baseline: BaselineSnapshot,
+    partition_col: str | None = None,
+    strategy: str = "native",
+    psi_threshold: float = PSI_ALARM_THRESHOLD,
+    binary_diff_threshold: float = 0.1,
+) -> DataFrame:
+    """EVERY baseline feature's drift verdict from ONE scan of ``df``.
+
+    The reference's flagship pass is 51 features per drift request
+    (drift_detector.py:236-293) — run one at a time in pandas there, and
+    SURVEY §2.10 mandates the loop "compiles into ONE multi-agg job, not N
+    jobs" here. This is that job, with no per-feature branches at all:
+
+      1. project each row to an array of (feature, key, value) structs —
+         key = frozen-edge bucket index for numerical features (NULL/out-of
+         -range -> "-1"), the category value for categorical features
+         (NULL -> a sentinel that the dense read below never indexes), a
+         constant for binary features — and ``explode`` it;
+      2. ONE shuffle: groupBy(partition, feature, key) with map-side
+         combine — reduce-side state is O(partitions x sum(keys per
+         feature)), independent of row count;
+      3. a tiny second aggregate assembles each (partition, feature)'s
+         sparse key->count map plus moment sums;
+      4. a broadcast join against the baseline spec (feature, kind, frozen
+         key list, expected counts, mean/std — KBs for any feature count)
+         densifies the counts and computes PSI / KS / moments / verdict
+         fields in a single kind-switched projection.
+
+    Output rows are exactly what the per-feature operators
+    (:func:`numerical_drift` / :func:`categorical_drift` /
+    :func:`proportion_drift`) produce — pytest asserts bit-identity — with
+    one deliberate divergence: a partition whose rows all miss a feature's
+    frozen category list emits NO categorical row here *and* none there
+    (the total>0 filter mirrors categorical_counts' isin drop).
+
+    At 100 TB and 51 features this replaces 51 scans + 51 shuffles with one
+    scan + one full-data shuffle; everything after step 2 is metadata-sized.
+    """
+    num_feats = list(baseline.numerical.items())
+    cat_feats = list(baseline.categorical.items())
+    bin_feats = list(baseline.binary.items())
+    if not (num_feats or cat_feats or bin_feats):
+        raise ValueError("baseline has no features")
+    part = (
+        F.col(partition_col).cast("string") if partition_col else F.lit("__all__")
+    )
+
+    entries = []
+    for feat, nb in num_feats:
+        v = F.col(feat).cast("double")
+        entries.append(
+            F.struct(
+                F.lit(feat).alias("f"),
+                F.coalesce(
+                    bucket_column(v, nb.bins, strategy).cast("string"), F.lit("-1")
+                ).alias("k"),
+                v.alias("v"),
+            )
+        )
+    for feat, _cb in cat_feats:
+        entries.append(
+            F.struct(
+                F.lit(feat).alias("f"),
+                F.coalesce(F.col(feat).cast("string"), F.lit(_NULL_KEY)).alias("k"),
+                F.lit(None).cast("double").alias("v"),
+            )
+        )
+    for feat, _bb in bin_feats:
+        entries.append(
+            F.struct(
+                F.lit(feat).alias("f"),
+                F.lit(_BIN_KEY).alias("k"),
+                F.col(feat).cast("double").alias("v"),
+            )
+        )
+
+    proj = df.select(
+        part.alias("partition"), F.explode(F.array(*entries)).alias("e")
+    ).select(
+        "partition",
+        F.col("e.f").alias("__f"),
+        F.col("e.k").alias("__k"),
+        F.col("e.v").alias("__v"),
+    )
+    micro = proj.groupBy("partition", "__f", "__k").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.count("__v").alias("__cnt_val"),
+        F.sum("__v").alias("__sum"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__sum2"),
+    )
+    per_feature = micro.groupBy("partition", "__f").agg(
+        F.map_from_arrays(
+            F.collect_list("__k"), F.collect_list("__cnt")
+        ).alias("__m"),
+        F.sum("__cnt").alias("__n_all"),
+        F.sum("__cnt_val").alias("__n_val"),
+        F.sum("__sum").alias("__tsum"),
+        F.sum("__sum2").alias("__tsum2"),
+    )
+
+    spec_rows = []
+    for feat, nb in num_feats:
+        n_bins = max(len(nb.bins) - 1, 1)
+        spec_rows.append(
+            (
+                feat,
+                "numerical",
+                [str(i) for i in range(n_bins)],
+                [float(c) for c in nb.counts],
+                float(nb.mean),
+                float(nb.std),
+            )
+        )
+    for feat, cb in cat_feats:
+        spec_rows.append(
+            (
+                feat,
+                "categorical",
+                [str(c) for c in cb.categories],
+                [float(c) for c in cb.counts],
+                float(cb.proportions[0]) if cb.proportions else 0.0,
+                0.0,
+            )
+        )
+    for feat, bb in bin_feats:
+        spec_rows.append(
+            (feat, "categorical_binary", [], [], float(bb.proportion_ones), 0.0)
+        )
+    spec = df.sparkSession.createDataFrame(
+        spec_rows,
+        "feature string, kind string, keys array<string>, "
+        "bcounts array<double>, bmean double, bstd double",
+    )
+    j = per_feature.join(F.broadcast(spec), per_feature["__f"] == spec["feature"])
+
+    counts = F.transform(
+        F.col("keys"), lambda k: F.coalesce(F.col("__m")[k].cast("double"), F.lit(0.0))
+    )
+    total = F.aggregate(counts, F.lit(0.0), lambda a, x: a + x)
+    psi = psi_expr(F.col("bcounts"), counts)
+    ks = ks_expr(F.col("bcounts"), counts)
+    n = F.col("__n_val").cast("double")
+    num_mean = F.when(n > 0, F.col("__tsum") / n).otherwise(F.lit(0.0))
+    var = (F.col("__tsum2") - F.col("__tsum") * F.col("__tsum") / n) / (n - 1)
+    num_std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(0.0))
+    cat_mean = F.when(total > 0, F.element_at(counts, 1) / total).otherwise(F.lit(0.0))
+    bin_prop = F.when(n > 0, F.col("__tsum") / n)  # NULL if no non-null values (= F.avg)
+    is_cat = F.col("kind") == "categorical"
+    is_bin = F.col("kind") == "categorical_binary"
+
+    cur_mean = F.coalesce(
+        F.nanvl(F.when(is_cat, cat_mean).otherwise(num_mean), F.lit(0.0)), F.lit(0.0)
+    )
+    cur_std = F.coalesce(
+        F.nanvl(F.when(is_cat | is_bin, F.lit(0.0)).otherwise(num_std), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    mcp_raw = (cur_mean - F.col("bmean")) / F.col("bmean") * 100
+    mcp = F.when(is_bin | (F.col("bmean") == 0), F.lit(0.0)).otherwise(
+        F.when(F.isnan(mcp_raw) | (F.abs(mcp_raw) == float("inf")), 0.0).otherwise(
+            mcp_raw
+        )
+    )
+    diff = F.abs(bin_prop - F.col("bmean"))
+    bin_sev = (
+        F.when(diff >= 0.2, "high").when(diff >= 0.1, "medium").otherwise("low")
+    )
+    return j.where(~(is_cat & (total == 0))).select(
+        F.col("partition").cast("string").alias("partition"),
+        "feature",
+        "kind",
+        F.when(is_bin, F.round(diff, 4)).otherwise(F.round(psi, 4)).alias("psi"),
+        F.when(is_bin, F.lit(None).cast("double"))
+        .otherwise(F.round(ks, 4))
+        .alias("ks"),
+        F.when(is_bin, diff >= F.lit(binary_diff_threshold))
+        .otherwise(psi >= F.lit(psi_threshold))
+        .alias("drift_detected"),
+        F.when(is_bin, bin_sev).otherwise(psi_severity_expr(psi)).alias(
+            "drift_severity"
+        ),
+        F.round(F.col("bmean"), 4).alias("baseline_mean"),
+        F.when(is_bin, F.round(bin_prop, 4))
+        .otherwise(F.round(cur_mean, 4))
+        .alias("current_mean"),
+        F.round(mcp, 2).alias("mean_change_pct"),
+        F.round(F.col("bstd"), 4).alias("baseline_std"),
+        F.round(cur_std, 4).alias("current_std"),
+        F.when(is_cat, total).otherwise(F.col("__n_all")).cast("long").alias(
+            "n_samples"
+        ),
+    )
+
+
 def auto_drift_verdicts(
     df: DataFrame,
     baseline: BaselineSnapshot,
     partition_col: str | None = None,
     strategy: str = "native",
     psi_threshold: float = PSI_ALARM_THRESHOLD,
+    fused: bool = True,
 ) -> DataFrame:
     """Dispatch every baseline feature down its kind's path — numerical
     (PSI/KS histogram), categorical (frozen category list) or binary
     (reference's exact proportion test) — exactly as ``detect_drift``
     dispatches on snapshot membership (drift_detector.py:264-267), with the
     kind decided DATA-DRIVEN at baseline time (compute_baseline_auto).
-    Returns one unioned verdicts DataFrame."""
+
+    ``fused=True`` (default) compiles ALL features into the single-scan
+    multi-agg job (:func:`fused_drift_verdicts`). ``fused=False`` keeps the
+    one-job-per-feature reference shape — N scans, only for verification
+    (the bit-identity pytest) and debugging."""
+    if fused:
+        return fused_drift_verdicts(
+            df,
+            baseline,
+            partition_col=partition_col,
+            strategy=strategy,
+            psi_threshold=psi_threshold,
+        )
     parts: list[DataFrame] = []
     for feat in baseline.numerical:
         parts.append(

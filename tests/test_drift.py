@@ -201,3 +201,101 @@ def test_fused_two_feature_drift_equals_separate(spark):
     assert "Scan parquet" not in final and "LocalTableScan" not in final.replace(
         "Scan ExistingRDD", ""
     )
+
+
+def _multi_feature_fixture(spark):
+    """3 numerical + 2 categorical + 1 binary features, 4 partitions, with
+    planted nulls on every kind and one partition (p3) whose categorical
+    values all miss the frozen list."""
+    import pandas as pd
+
+    from mlops_drift_detection_spark.baseline import compute_baseline_auto
+
+    rng = __import__("numpy").random.RandomState(7)
+    n = 4000
+    base = pd.DataFrame(
+        {
+            # integer-valued doubles: float sums are exact, so the fused and
+            # per-feature paths agree bit-for-bit, not just post-rounding
+            "ln": rng.randint(0, 500, n).astype(float),
+            "n2": rng.randint(-50, 50, n).astype(float),
+            "n3": rng.randint(0, 10, n).astype(float),
+            "lang": rng.choice(["py", "go", "rs"], n, p=[0.5, 0.3, 0.2]),
+            "src": rng.choice(["x", "y"], n),
+            "b1": rng.randint(0, 2, n),
+        }
+    )
+    snap = compute_baseline_auto(
+        spark.createDataFrame(base),
+        ["ln", "n2", "n3", "b1"],
+        categorical_cols=["lang", "src"],
+        exact_quantiles=True,
+    )
+    cur = pd.DataFrame(
+        {
+            "part": [f"p{i % 4}" for i in range(n)],
+            "ln": rng.randint(0, 900, n).astype(float),
+            "n2": rng.randint(-50, 80, n).astype(float),
+            "n3": rng.randint(0, 10, n).astype(float),
+            "lang": rng.choice(["py", "go", "rs", "zz"], n),
+            "src": rng.choice(["x", "y"], n),
+            "b1": rng.randint(0, 2, n).astype(float),
+        }
+    )
+    cur.loc[:30, "ln"] = None
+    cur.loc[31:60, "lang"] = None
+    cur.loc[61:90, "b1"] = None
+    # p3: every lang value outside the frozen {py,go,rs} list
+    cur.loc[cur["part"] == "p3", "lang"] = "zz"
+    return snap, spark.createDataFrame(cur)
+
+
+def test_fused_n_feature_drift_identical_to_per_feature(spark):
+    """fused_drift_verdicts == the per-feature union for every (partition,
+    feature), including the no-frozen-category-hit partition, which BOTH
+    paths must drop for the categorical feature."""
+    from mlops_drift_detection_spark.operators.drift import auto_drift_verdicts
+
+    snap, cur = _multi_feature_fixture(spark)
+    fused = auto_drift_verdicts(cur, snap, partition_col="part", fused=True)
+    sep = auto_drift_verdicts(cur, snap, partition_col="part", fused=False)
+    key = lambda r: (r["partition"], r["feature"])  # noqa: E731
+    got = {key(r): r.asDict() for r in fused.collect()}
+    want = {key(r): r.asDict() for r in sep.collect()}
+    assert got == want
+    # the planted all-unknown partition emits NO lang row on either path
+    assert ("p3", "lang") not in got
+    # ... but still emits its numerical + binary rows
+    assert ("p3", "ln") in got and ("p3", "b1") in got
+
+
+def test_fused_n_feature_drift_single_scan(spark, tmp_path):
+    """SURVEY §2.10: the N-feature pass is ONE multi-agg job — the physical
+    plan reads the input exactly once; the per-feature path reads it once
+    per feature."""
+    from mlops_drift_detection_spark.operators.drift import auto_drift_verdicts
+
+    snap, cur = _multi_feature_fixture(spark)
+    path = str(tmp_path / "cur_parquet")
+    cur.write.mode("overwrite").parquet(path)
+    on_disk = spark.read.parquet(path)
+
+    fused_plan = (
+        auto_drift_verdicts(on_disk, snap, partition_col="part", fused=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert fused_plan.count("Scan parquet") == 1
+
+    sep_plan = (
+        auto_drift_verdicts(on_disk, snap, partition_col="part", fused=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    n_features = len(snap.numerical) + len(snap.categorical) + len(snap.binary)
+    assert n_features == 6
+    assert sep_plan.count("Scan parquet") == n_features

@@ -986,6 +986,10 @@ SQL_COLUMN_PROFILE = (
 # Registry
 # --------------------------------------------------------------------------
 
+from mlops_drift_detection_spark.queries_drift_multi import (  # noqa: E402
+    MULTI_DRIFT_ORACLES,
+    MULTI_DRIFT_QUERIES,
+)
 from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
     PIPELINE_ORACLES,
     PIPELINE_QUERIES,
@@ -1026,6 +1030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_source_stats": q_salted_source_stats,
     "hll_distinct_check": q_hll_distinct_check,
     "column_profile": q_column_profile,
+    **MULTI_DRIFT_QUERIES,
     **PIPELINE_QUERIES,
 }
 
@@ -1064,5 +1069,6 @@ ORACLES: dict[str, str] = {
     "salted_source_stats": SQL_SALTED_SOURCE_STATS,
     "hll_distinct_check": SQL_HLL_DISTINCT_CHECK,
     "column_profile": SQL_COLUMN_PROFILE,
+    **MULTI_DRIFT_ORACLES,
     **PIPELINE_ORACLES,
 }

@@ -1,0 +1,369 @@
+"""`multi_feature_drift` catalog entry: the N-feature SINGLE-SCAN fused
+drift pass, DuckDB-oracle-checked end to end.
+
+This is the engine's answer to the reference's flagship request shape — 51
+features per drift call looped one pandas pass at a time
+(reference: src/monitoring/drift_detector.py:236-293, loop at :264-267) —
+run here as ONE job over 11 features spanning all three kinds:
+
+* 6 numerical features (frozen-edge histograms -> PSI + KS + moments),
+* 2 categorical features (frozen category lists, incl. a truncated top-12
+  list so the unknown-category drop path is exercised),
+* 3 binary features (the reference's exact proportion-difference test,
+  drift_detector.py:203-225).
+
+Baseline = the even doc_id half of ``documents`` (stats collected driver-side
+into a BaselineSnapshot — the artifact shape of baseline_calculator.py);
+current = the odd half, partitioned by ``source``. The Spark side runs
+:func:`fused_drift_verdicts` — one scan, one (partition, feature, key)
+shuffle — and the oracle SQL below recomputes every verdict field
+independently in DuckDB with the same formulas, guards, and rounding.
+
+Feature expressions are defined ONCE as (name, duckdb_sql, edges) rows; the
+Spark twins in :func:`_spark_feats` mirror them operator for operator so the
+two engines bucket identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.baseline import (
+    BaselineSnapshot,
+    BinaryBaseline,
+    CategoricalBaseline,
+    NumericalBaseline,
+)
+from mlops_drift_detection_spark.operators.drift import fused_drift_verdicts
+from mlops_drift_detection_spark.operators.histogram import bucket_expr_native
+
+# (name, duckdb expression, frozen bin edges)
+MFD_NUM: list[tuple[str, str, list[float]]] = [
+    (
+        "f_nchars",
+        "CAST(n_chars AS DOUBLE)",
+        [0.0, 100.0, 200.0, 300.0, 400.0, 600.0, 1000.0, 2000.0],
+    ),
+    (
+        "f_ntok",
+        "CAST(len(string_split(text, ' ')) AS DOUBLE)",
+        [0.0, 10.0, 20.0, 30.0, 40.0, 60.0, 100.0],
+    ),
+    (
+        "f_avgtok",
+        "CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)",
+        [0.0, 3.0, 4.0, 5.0, 6.0, 8.0, 12.0],
+    ),
+    (
+        "f_spaces",
+        "CAST(n_chars - length(replace(text, ' ', '')) AS DOUBLE)",
+        [0.0, 10.0, 20.0, 30.0, 50.0, 100.0],
+    ),
+    (
+        "f_echars",
+        "CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)",
+        [0.0, 5.0, 10.0, 20.0, 40.0, 80.0],
+    ),
+    (
+        "f_achars",
+        "CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE)",
+        [0.0, 5.0, 10.0, 20.0, 40.0, 80.0],
+    ),
+]
+
+# (name, duckdb expression, max frozen categories)
+MFD_CAT: list[tuple[str, str, int]] = [
+    ("lang", "lang", 1000),
+    ("first_tok", "string_split(text, ' ')[1]", 12),
+]
+
+# (name, duckdb expression) — strictly 0.0/1.0 valued
+MFD_BIN: list[tuple[str, str]] = [
+    ("b_islong", "CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END"),
+    ("b_haskey", "CASE WHEN contains(text, 'key') THEN 1.0 ELSE 0.0 END"),
+    ("b_div3", "CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END"),
+]
+
+PSI_T = 0.2
+DIFF_T = 0.1
+
+
+def _spark_feats(docs: DataFrame) -> DataFrame:
+    """Spark twins of the MFD_* DuckDB expressions, one projection."""
+    ntok = F.size(F.split(F.col("text"), " ")).cast("double")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("double").alias("f_nchars"),
+        ntok.alias("f_ntok"),
+        (F.col("n_chars").cast("double") / ntok).alias("f_avgtok"),
+        (F.col("n_chars") - F.length(F.regexp_replace(F.col("text"), " ", "")))
+        .cast("double")
+        .alias("f_spaces"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), "e", "")))
+        .cast("double")
+        .alias("f_echars"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), "a", "")))
+        .cast("double")
+        .alias("f_achars"),
+        "lang",
+        F.split(F.col("text"), " ").getItem(0).alias("first_tok"),
+        F.when(F.col("n_chars") > 300, 1.0).otherwise(0.0).alias("b_islong"),
+        F.when(F.col("text").contains("key"), 1.0).otherwise(0.0).alias("b_haskey"),
+        F.when(F.col("doc_id") % 3 == 0, 1.0).otherwise(0.0).alias("b_div3"),
+    )
+
+
+def _mfd_baseline(feats: DataFrame) -> BaselineSnapshot:
+    """Even-half baseline for all 11 features: ONE aggregate pass for the
+    numerical moments + histogram counts + binary proportions, plus one tiny
+    groupBy per categorical feature (frozen list, count desc / value asc)."""
+    even = feats.where(F.col("doc_id") % 2 == 0)
+    aggs = []
+    for name, _sql, edges in MFD_NUM:
+        c = F.col(name)
+        aggs += [
+            F.avg(c).alias(f"{name}__mean"),
+            F.stddev_samp(c).alias(f"{name}__std"),
+        ]
+        b = bucket_expr_native(c, edges)
+        for i in range(len(edges) - 1):
+            aggs.append(F.sum(F.when(b == i, 1).otherwise(0)).alias(f"{name}__c{i}"))
+    for name, _sql in MFD_BIN:
+        aggs += [
+            F.avg(F.col(name)).alias(f"{name}__p"),
+            F.count(F.col(name)).alias(f"{name}__n"),
+        ]
+    row = even.agg(*aggs, F.count(F.lit(1)).alias("__n")).collect()[0]
+
+    snap = BaselineSnapshot(n_samples=int(row["__n"]))
+    for name, _sql, edges in MFD_NUM:
+        snap.numerical[name] = NumericalBaseline(
+            mean=float(row[f"{name}__mean"] or 0.0),
+            std=float(row[f"{name}__std"] or 0.0),
+            min=0.0,
+            max=0.0,
+            median=0.0,
+            q25=0.0,
+            q75=0.0,
+            bins=list(edges),
+            counts=[float(row[f"{name}__c{i}"]) for i in range(len(edges) - 1)],
+        )
+    for name, _sql, maxc in MFD_CAT:
+        rows = (
+            even.where(F.col(name).isNotNull())
+            .groupBy(name)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc(name))
+            .limit(maxc)
+            .collect()
+        )
+        total = sum(r["cnt"] for r in rows) or 1
+        snap.categorical[name] = CategoricalBaseline(
+            categories=[r[name] for r in rows],
+            counts=[float(r["cnt"]) for r in rows],
+            proportions=[r["cnt"] / total for r in rows],
+        )
+    for name, _sql in MFD_BIN:
+        snap.binary[name] = BinaryBaseline(
+            proportion_ones=float(row[f"{name}__p"] or 0.0), n=int(row[f"{name}__n"])
+        )
+    return snap
+
+
+def q_multi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """11-feature drift verdicts, per source partition, from ONE scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = _spark_feats(docs)
+    snap = _mfd_baseline(feats)
+    return fused_drift_verdicts(
+        feats.where(F.col("doc_id") % 2 == 1), snap, partition_col="source"
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL generation
+# --------------------------------------------------------------------------
+
+def _sql_bucket_case(col: str, edges: list[float]) -> str:
+    parts = [
+        f"WHEN {col} IS NULL OR {col} < {edges[0]} OR {col} > {edges[-1]} THEN NULL"
+    ]
+    for i in range(len(edges) - 2):
+        parts.append(f"WHEN {col} <= {edges[i + 1]} THEN {i}")
+    parts.append(f"ELSE {len(edges) - 2}")
+    return "CASE " + " ".join(parts) + " END"
+
+
+def _verdict_tail(guarded_psi: str) -> str:
+    """psi / ks guard + drift/severity shared by numerical + categorical."""
+    return f"""({guarded_psi}) >= {PSI_T} AS drift_detected,
+       CASE WHEN ({guarded_psi}) < 0.1 THEN 'low'
+            WHEN ({guarded_psi}) < 0.2 THEN 'medium'
+            ELSE 'high' END AS drift_severity"""
+
+
+def _num_block(name: str, edges: list[float]) -> tuple[str, str]:
+    nb = len(edges) - 1
+    bc = _sql_bucket_case(name, edges)
+    ap = f"CASE WHEN o.ac = 0 THEN 0.0001 ELSE o.ac / t.sa END"
+    ep = f"CASE WHEN e.ec = 0 THEN 0.0001 ELSE e.ec / t.se END"
+    cte = f"""
+bins_{name} AS (SELECT range AS bin FROM range({nb})),
+ev_{name} AS (
+  SELECT b.bin, CAST(coalesce(g.c, 0) AS DOUBLE) AS ec
+  FROM bins_{name} b
+  LEFT JOIN (SELECT {bc} AS bin, count(*) AS c FROM feats WHERE half = 0 GROUP BY 1) g USING (bin)),
+od_{name} AS (
+  SELECT s.source, b.bin, CAST(coalesce(g.c, 0) AS DOUBLE) AS ac
+  FROM srcs s CROSS JOIN bins_{name} b
+  LEFT JOIN (SELECT source, {bc} AS bin, count(*) AS c FROM feats WHERE half = 1 GROUP BY 1, 2) g
+    ON g.source = s.source AND g.bin = b.bin),
+t_{name} AS (SELECT o.source, sum(o.ac) AS sa, (SELECT sum(ec) FROM ev_{name}) AS se
+             FROM od_{name} o GROUP BY o.source),
+p_{name} AS (
+  SELECT o.source, sum((({ap}) - ({ep})) * ln(({ap}) / ({ep}))) AS raw_psi
+  FROM od_{name} o JOIN ev_{name} e USING (bin) JOIN t_{name} t ON t.source = o.source
+  GROUP BY o.source),
+k_{name} AS (
+  SELECT source, max(abs(ecdf - acdf)) AS raw_ks FROM (
+    SELECT o.source,
+           sum(e.ec) OVER (PARTITION BY o.source ORDER BY o.bin) / sum(e.ec) OVER (PARTITION BY o.source) AS ecdf,
+           sum(o.ac) OVER (PARTITION BY o.source ORDER BY o.bin) / sum(o.ac) OVER (PARTITION BY o.source) AS acdf
+    FROM od_{name} o JOIN ev_{name} e USING (bin)) GROUP BY source),
+m_{name} AS (SELECT source, count(*) AS n_all, count({name}) AS nv,
+                    sum({name}) AS s, sum({name} * {name}) AS s2
+             FROM feats WHERE half = 1 GROUP BY source),
+bl_{name} AS (SELECT avg({name}) AS bmean, coalesce(stddev_samp({name}), 0) AS bstd
+              FROM feats WHERE half = 0)"""
+    gpsi = f"CASE WHEN t.sa = 0 OR t.se = 0 THEN 0 ELSE p.raw_psi END"
+    gks = f"CASE WHEN t.sa = 0 OR t.se = 0 THEN 0 ELSE k.raw_ks END"
+    cmean = "CASE WHEN m.nv > 0 THEN m.s / m.nv ELSE 0 END"
+    cstd = (
+        "CASE WHEN m.nv > 1 THEN sqrt(greatest((m.s2 - m.s * m.s / m.nv) / (m.nv - 1), 0)) "
+        "ELSE 0 END"
+    )
+    sel = f"""SELECT m.source AS partition, '{name}' AS feature, 'numerical' AS kind,
+       round({gpsi}, 4) AS psi,
+       round({gks}, 4) AS ks,
+       {_verdict_tail(gpsi)},
+       round(b.bmean, 4) AS baseline_mean,
+       round({cmean}, 4) AS current_mean,
+       CASE WHEN b.bmean <> 0
+            THEN round((({cmean}) - b.bmean) / b.bmean * 100, 2)
+            ELSE 0.0 END AS mean_change_pct,
+       round(b.bstd, 4) AS baseline_std,
+       round({cstd}, 4) AS current_std,
+       CAST(m.n_all AS BIGINT) AS n_samples
+FROM m_{name} m JOIN p_{name} p USING (source) JOIN k_{name} k USING (source)
+     JOIN t_{name} t USING (source) CROSS JOIN bl_{name} b"""
+    return cte, sel
+
+
+def _cat_block(name: str, maxc: int) -> tuple[str, str]:
+    ap = "CASE WHEN o.ac = 0 THEN 0.0001 ELSE o.ac / t.sa END"
+    ep = "CASE WHEN o.bc = 0 THEN 0.0001 ELSE CAST(o.bc AS DOUBLE) / t.se END"
+    cte = f"""
+cats_{name} AS (
+  SELECT {name} AS cat, count(*) AS bc,
+         ROW_NUMBER() OVER (ORDER BY count(*) DESC, {name} ASC) AS rk
+  FROM feats WHERE half = 0 AND {name} IS NOT NULL GROUP BY {name}
+  QUALIFY rk <= {maxc}),
+cbl_{name} AS (SELECT CAST(max(CASE WHEN rk = 1 THEN bc END) AS DOUBLE) / sum(bc) AS bmean
+               FROM cats_{name}),
+cod_{name} AS (
+  SELECT s.source, c.rk, CAST(c.bc AS DOUBLE) AS bc, CAST(coalesce(g.n, 0) AS DOUBLE) AS ac
+  FROM srcs s CROSS JOIN cats_{name} c
+  LEFT JOIN (SELECT source, {name} AS cat, count(*) AS n FROM feats WHERE half = 1 GROUP BY 1, 2) g
+    ON g.source = s.source AND g.cat = c.cat),
+ct_{name} AS (SELECT source, sum(ac) AS sa, (SELECT sum(bc) FROM cats_{name}) AS se,
+                     max(CASE WHEN rk = 1 THEN ac END) AS topac
+              FROM cod_{name} GROUP BY source),
+cp_{name} AS (
+  SELECT o.source, sum((({ap}) - ({ep})) * ln(({ap}) / ({ep}))) AS raw_psi
+  FROM cod_{name} o JOIN ct_{name} t USING (source) GROUP BY o.source),
+ck_{name} AS (
+  SELECT source, max(abs(ecdf - acdf)) AS raw_ks FROM (
+    SELECT source,
+           sum(bc) OVER (PARTITION BY source ORDER BY rk) / sum(bc) OVER (PARTITION BY source) AS ecdf,
+           sum(ac) OVER (PARTITION BY source ORDER BY rk) / sum(ac) OVER (PARTITION BY source) AS acdf
+    FROM cod_{name}) GROUP BY source)"""
+    gpsi = "CASE WHEN t.sa = 0 OR t.se = 0 THEN 0 ELSE p.raw_psi END"
+    gks = "CASE WHEN t.sa = 0 OR t.se = 0 THEN 0 ELSE k.raw_ks END"
+    cmean = "CASE WHEN t.sa > 0 THEN t.topac / t.sa ELSE 0 END"
+    sel = f"""SELECT t.source AS partition, '{name}' AS feature, 'categorical' AS kind,
+       round({gpsi}, 4) AS psi,
+       round({gks}, 4) AS ks,
+       {_verdict_tail(gpsi)},
+       round(b.bmean, 4) AS baseline_mean,
+       round({cmean}, 4) AS current_mean,
+       CASE WHEN b.bmean <> 0
+            THEN round((({cmean}) - b.bmean) / b.bmean * 100, 2)
+            ELSE 0.0 END AS mean_change_pct,
+       0.0 AS baseline_std,
+       0.0 AS current_std,
+       CAST(t.sa AS BIGINT) AS n_samples
+FROM ct_{name} t JOIN cp_{name} p USING (source) JOIN ck_{name} k USING (source)
+     CROSS JOIN cbl_{name} b
+WHERE t.sa > 0"""
+    return cte, sel
+
+
+def _bin_block(name: str) -> tuple[str, str]:
+    cte = f"""
+bb_{name} AS (SELECT avg({name}) AS bprop FROM feats WHERE half = 0),
+bo_{name} AS (SELECT source, count(*) AS n_all, count({name}) AS nv, sum({name}) AS s
+              FROM feats WHERE half = 1 GROUP BY source)"""
+    prop = "CASE WHEN o.nv > 0 THEN o.s / o.nv END"
+    diff = f"abs(({prop}) - b.bprop)"
+    sel = f"""SELECT o.source AS partition, '{name}' AS feature, 'categorical_binary' AS kind,
+       round({diff}, 4) AS psi,
+       CAST(NULL AS DOUBLE) AS ks,
+       {diff} >= {DIFF_T} AS drift_detected,
+       CASE WHEN {diff} >= 0.2 THEN 'high'
+            WHEN {diff} >= 0.1 THEN 'medium'
+            ELSE 'low' END AS drift_severity,
+       round(b.bprop, 4) AS baseline_mean,
+       round({prop}, 4) AS current_mean,
+       0.0 AS mean_change_pct,
+       0.0 AS baseline_std,
+       0.0 AS current_std,
+       CAST(o.n_all AS BIGINT) AS n_samples
+FROM bo_{name} o CROSS JOIN bb_{name} b"""
+    return cte, sel
+
+
+def _mfd_oracle() -> str:
+    feat_exprs = ",\n         ".join(
+        [f"{sql} AS {name}" for name, sql, _e in MFD_NUM]
+        + [f"{sql} AS {name}" for name, sql, _m in MFD_CAT]
+        + [f"{sql} AS {name}" for name, sql in MFD_BIN]
+    )
+    ctes = [
+        f"""WITH feats AS (
+  SELECT doc_id, source, doc_id % 2 AS half,
+         {feat_exprs}
+  FROM documents),
+srcs AS (SELECT DISTINCT source FROM feats WHERE half = 1)"""
+    ]
+    selects = []
+    for name, _sql, edges in MFD_NUM:
+        cte, sel = _num_block(name, edges)
+        ctes.append(cte)
+        selects.append(sel)
+    for name, _sql, maxc in MFD_CAT:
+        cte, sel = _cat_block(name, maxc)
+        ctes.append(cte)
+        selects.append(sel)
+    for name, _sql in MFD_BIN:
+        cte, sel = _bin_block(name)
+        ctes.append(cte)
+        selects.append(sel)
+    return ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_MULTI_FEATURE_DRIFT = _mfd_oracle()
+
+MULTI_DRIFT_QUERIES = {"multi_feature_drift": q_multi_feature_drift}
+MULTI_DRIFT_ORACLES = {"multi_feature_drift": SQL_MULTI_FEATURE_DRIFT}

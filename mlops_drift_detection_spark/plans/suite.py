@@ -40,7 +40,7 @@ from mlops_drift_detection_spark.baseline import BaselineSnapshot, compute_basel
 from mlops_drift_detection_spark.operators import constraints as C
 from mlops_drift_detection_spark.operators.drift import (
     drift_summary,
-    fused_two_feature_drift,
+    fused_drift_verdicts,
 )
 from mlops_drift_detection_spark.plans.manifest import (
     CheckpointManifest,
@@ -84,6 +84,16 @@ class SuiteResult:
     summary: DataFrame
     n_rows_validated: int = 0
     skipped_partitions: list[str] = field(default_factory=list)
+    # wave caches backing violations/verdicts when no output_dir was given
+    # (with a sink, run() releases them itself — the sink is authoritative)
+    _caches: list[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist the wave caches backing the returned DataFrames. Call
+        when done acting on them (they remain usable — just recomputed)."""
+        for df in self._caches:
+            df.unpersist()
+        self._caches = []
 
 
 class ValidationSuite:
@@ -197,17 +207,18 @@ class ValidationSuite:
 
     # ------------------------------------------------------------------- drift
     def drift_verdicts(self, df: DataFrame) -> DataFrame:
-        """Both drift features from ONE scan: the fused operator's shared
-        micro-aggregate + ReuseExchange replaces the two separate
-        full-data aggregations (scan count per wave drops by one)."""
+        """All drift features from ONE scan via the N-feature fused operator
+        (single (partition, feature, key) shuffle + broadcast baseline spec
+        — no checkpointed micro-table, so a multi-wave run leaves no cached
+        blocks behind). Any feature set the baseline carries compiles into
+        the same one job; the suite's default baseline has the two
+        north-rule features (content_length histogram + lang mix)."""
         cfg = self.config
         prepared = df.select(
             PART, "lang", F.length("content").cast("double").alias(CONTENT_LEN)
         )
-        return fused_two_feature_drift(
+        return fused_drift_verdicts(
             prepared,
-            CONTENT_LEN,
-            "lang",
             self.baseline,
             partition_col=PART,
             strategy=cfg.binning_strategy,
@@ -246,8 +257,23 @@ class ValidationSuite:
         """
         spark = df.sparkSession
         run_id = f"run_{uuid.uuid4().hex[:12]}"
+        physical = PART in df.columns
         dfp = self.with_partition(df)
-        all_parts = list(range(self.config.n_partition_buckets))
+        if physical:
+            # the input's pre-existing part_id is trusted for pruning but NOT
+            # for coverage: a table written with more buckets than
+            # n_partition_buckets (or with NULL ids) would silently leave
+            # rows out of every wave. Derive the wave list from the actual
+            # distinct ids instead (one partition-column-only scan).
+            vals = [r[0] for r in dfp.select(PART).distinct().collect()]
+            if any(v is None for v in vals):
+                raise ValueError(
+                    f"input column '{PART}' contains NULLs - rows would "
+                    "fall into no validation wave"
+                )
+            all_parts = sorted(int(v) for v in vals)
+        else:
+            all_parts = list(range(self.config.n_partition_buckets))
         skipped_i: list[int] = []
         if manifest is not None and resume:
             skipped_i = [p for p in all_parts if manifest.is_complete(str(p))]
@@ -262,6 +288,7 @@ class ValidationSuite:
         ] if n_waves > 1 else [todo]
         waves = [w for w in waves if w]
 
+        caches: list[DataFrame] = []
         first_wave = True
         for wave in waves:
             slice_df = dfp.where(F.col(PART).isin(wave))
@@ -269,10 +296,10 @@ class ValidationSuite:
                 slice_df = slice_df.cache()
             viol = self.violations(slice_df, commits_dim).withColumn(
                 "run_id", F.lit(run_id)
-            ).cache()
+            ).cache()  # serves the persist + count actions below
             verd = self.drift_verdicts(slice_df).withColumn(
                 "run_id", F.lit(run_id)
-            ).cache()  # tiny (O(partitions x features)); reused thrice below
+            ).cache()  # tiny (O(partitions x features))
             if output_dir is not None:
                 # a fresh (non-resume) run statically overwrites the sink on
                 # its first wave (clearing stale partitions from older runs);
@@ -296,12 +323,6 @@ class ValidationSuite:
                 .collect()
             }
             n_rows_total += sum(rows_by_part.values())
-            violations_out = (
-                viol if violations_out is None else violations_out.unionByName(viol)
-            )
-            verdicts_out = (
-                verd if verdicts_out is None else verdicts_out.unionByName(verd)
-            )
             if manifest is not None:
                 for p in wave:
                     manifest.mark_complete(
@@ -313,33 +334,50 @@ class ValidationSuite:
                             metrics={"run_id": run_id},
                         )
                     )
+            if output_dir is not None:
+                # the sink now holds this wave durably — release the caches
+                # HERE (blocking, so the blocks are gone before the next
+                # wave allocates) and violation blocks never accumulate
+                # across waves (VERDICT r2 finding #4); the final outputs
+                # read the sink.
+                viol.unpersist(blocking=True)
+                verd.unpersist(blocking=True)
+            else:
+                # no sink: the returned DataFrames are backed by these caches
+                # (caller releases via SuiteResult.release() when done)
+                violations_out = (
+                    viol if violations_out is None else violations_out.unionByName(viol)
+                )
+                verdicts_out = (
+                    verd if verdicts_out is None else verdicts_out.unionByName(verd)
+                )
+                caches += [viol, verd]
             slice_df.unpersist()
 
+        verd_schema = (
+            "partition string, feature string, kind string, psi double, ks double,"
+            " drift_detected boolean, drift_severity string, baseline_mean double,"
+            " current_mean double, mean_change_pct double, baseline_std double,"
+            " current_std double, n_samples long, run_id string"
+        )
+        if output_dir is not None:
+            # authoritative outputs come from the durable sink: every wave of
+            # this run plus skipped partitions recovered from prior runs
+            # (their rows keep the run_id that produced them)
+            viol_cols = C.empty_violations(spark).columns + ["run_id"]
+            verd_cols = [f.split()[0] for f in verd_schema.split(",")]
+            violations_out = self._read_sink(
+                spark, f"{output_dir}/violations", None, viol_cols
+            )
+            verdicts_out = self._read_sink(
+                spark, f"{output_dir}/verdicts", None, verd_cols
+            )
         if violations_out is None:
             violations_out = C.empty_violations(spark).withColumn(
                 "run_id", F.lit(run_id)
             )
         if verdicts_out is None:
-            verdicts_out = spark.createDataFrame(
-                [],
-                "partition string, feature string, kind string, psi double, ks double,"
-                " drift_detected boolean, drift_severity string, baseline_mean double,"
-                " current_mean double, mean_change_pct double, baseline_std double,"
-                " current_std double, n_samples long, run_id string",
-            )
-        if output_dir is not None and skipped_i:
-            # union back the skipped partitions' durable results (they keep
-            # the run_id of the run that computed them)
-            prior_v = self._read_sink(
-                spark, f"{output_dir}/violations", skipped_i, violations_out.columns
-            )
-            if prior_v is not None:
-                violations_out = violations_out.unionByName(prior_v)
-            prior_d = self._read_sink(
-                spark, f"{output_dir}/verdicts", skipped_i, verdicts_out.columns
-            )
-            if prior_d is not None:
-                verdicts_out = verdicts_out.unionByName(prior_d)
+            verdicts_out = spark.createDataFrame([], verd_schema)
         summary = drift_summary(verdicts_out)
         if output_dir is not None:
             summary.write.mode("overwrite").parquet(f"{output_dir}/summary")
@@ -349,6 +387,7 @@ class ValidationSuite:
             summary=summary,
             n_rows_validated=n_rows_total,
             skipped_partitions=[str(p) for p in skipped_i],
+            _caches=caches,
         )
 
     @staticmethod
@@ -362,18 +401,23 @@ class ValidationSuite:
     def _read_sink(
         spark: SparkSession,
         path: str,
-        partitions: list[int],
+        partitions: list[int] | None,
         columns: list[str],
     ) -> DataFrame | None:
-        """Read persisted rows for the given logical partitions, normalized
-        back to the in-memory schema (directory-partition columns read back
-        type-inferred as int; a sink that was never written reads as None)."""
+        """Read persisted rows (optionally for specific logical partitions),
+        normalized back to the in-memory schema (directory-partition columns
+        read back type-inferred as int). ONLY an absent/row-less sink reads
+        as None — a genuine read failure (corrupt files, permissions) must
+        propagate, otherwise a resume would silently drop completed
+        partitions' rows (ADVICE r2)."""
+        from pyspark.errors import AnalysisException
+
         try:
             on_disk = spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — absent/empty sink
+        except AnalysisException:  # PATH_NOT_FOUND / no files to infer from
             return None
-        return (
-            on_disk.where(F.col("partition").isin(partitions))
-            .withColumn("partition", F.col("partition").cast("string"))
-            .select(*columns)
-        )
+        if partitions is not None:
+            on_disk = on_disk.where(F.col("partition").isin(partitions))
+        return on_disk.withColumn(
+            "partition", F.col("partition").cast("string")
+        ).select(*columns)

@@ -734,15 +734,24 @@ def q_binary_dispatch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).cast("double").alias("f_mod3"),
     )
     cols = ["f_nchars", "f_even", "f_mod3"]
-    flags = detect_binary_columns(feats, cols)
-    row = feats.agg(*[F.round(F.avg(c), 6).alias(c) for c in cols]).collect()[0]
-    return spark.createDataFrame(
-        [
-            (c, "binary" if flags[c] else "numerical", float(row[c]))
-            for c in cols
-        ],
-        "feature string, kind string, stat double",
-    )
+    flags = detect_binary_columns(feats, cols)  # the dispatch decision (tiny agg)
+    # final shape is a PLAN (unpivot of the one-row aggregate via explode),
+    # not driver-side row assembly — the stats never leave the executors
+    agg = feats.agg(*[F.round(F.avg(c), 6).alias(c) for c in cols])
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.lit("binary" if flags[c] else "numerical").alias("kind"),
+                        F.col(c).alias("stat"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("r")
+    ).select("r.feature", "r.kind", "r.stat")
 
 
 SQL_BINARY_DISPATCH_PROFILE = """
@@ -776,7 +785,10 @@ def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2: schema-enforced CSV sink + scan roundtrip through the engine's
     io layer (reference pd.read_csv/to_csv, data_preprocessing.py:316,
     332-337): values surviving the roundtrip must aggregate identically to
-    the parquet original (which is what the oracle computes)."""
+    the parquet original (which is what the oracle computes). The CSV sink
+    lives in a tempdir removed in ``finally`` (the tiny aggregate is
+    materialized first), so repeated runs leave nothing behind."""
+    import shutil
     import tempfile
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -785,19 +797,24 @@ def q_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
-    path = f"{tmp}/docs_csv"
-    write_table(docs, path, fmt="csv")
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("lang", StringType()),
-            StructField("source", StringType()),
-        ]
-    )
-    back = read_table(spark, path, fmt="csv", schema=schema)
-    return back.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
-    )
+    try:
+        path = f"{tmp}/docs_csv"
+        write_table(docs, path, fmt="csv")
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("lang", StringType()),
+                StructField("source", StringType()),
+            ]
+        )
+        back = read_table(spark, path, fmt="csv", schema=schema)
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+        )
+        rows, out_schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
 
 
 SQL_CSV_ROUNDTRIP_STATS = """
@@ -817,25 +834,114 @@ def q_append_log_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="append_log_")
-    path = f"{tmp}/events_log"
-    append_log(ev, path, ts_col="ts")
-    log = spark.read.parquet(path)
-    # resolve the cutoff to a LITERAL first (tiny agg), so the window scan
-    # carries a log_date partition predicate Catalyst can prune with —
-    # filtering only on ts would re-list every date directory
-    cutoff = log.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("c")).collect()[0]["c"]
-    return (
-        log.where(
-            (F.col("log_date") >= F.lit(cutoff.date())) & (F.col("ts") >= F.lit(cutoff))
+    try:
+        path = f"{tmp}/events_log"
+        append_log(ev, path, ts_col="ts")
+        log = spark.read.parquet(path)
+        # resolve the cutoff to a LITERAL first (tiny agg), so the window scan
+        # carries a log_date partition predicate Catalyst can prune with —
+        # filtering only on ts would re-list every date directory
+        cutoff = log.agg(
+            (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("c")
+        ).collect()[0]["c"]
+        agg = (
+            log.where(
+                (F.col("log_date") >= F.lit(cutoff.date())) & (F.col("ts") >= F.lit(cutoff))
+            )
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+        rows, out_schema = agg.collect(), agg.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
 
 
 SQL_APPEND_LOG_WINDOW = """
 WITH c AS (SELECT max(ts) - INTERVAL 24 HOUR AS cutoff FROM events)
 SELECT event_type, count(*) AS n FROM events, c WHERE ts >= cutoff GROUP BY event_type
+"""
+
+
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming surface through the DRIVER-CHECKED catalog: documents
+    replayed as a file-source stream (one micro-batch per source's file,
+    availableNow trigger, checkpointed offsets) and validated per batch by
+    ``foreach_batch_validator`` — the engine's production streaming topology
+    (readStream -> foreachBatch -> drift kernel).
+
+    Verdicts are keyed by the batch's ``source`` (tag_col), i.e. by DATA
+    rather than batch number, so the streamed result equals a static
+    computation no matter how files map to batches — which is exactly what
+    the DuckDB oracle computes: per-source lang-mix PSI vs the whole-table
+    baseline. Temp input/checkpoint dirs are removed in ``finally`` after
+    the (tiny) verdict rows are materialized."""
+    import shutil
+    import tempfile
+
+    from mlops_drift_detection_spark.streaming.drift_stream import (
+        foreach_batch_validator,
+        run_file_stream_validation,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    base_rows = (
+        docs.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+        .collect()
+    )
+    categories = [r["lang"] for r in base_rows]
+    baseline = {r["lang"]: float(r["n"]) for r in base_rows}
+    tmp = tempfile.mkdtemp(prefix="stream_drift_")
+    out_rows: list[dict] = []
+    try:
+        in_dir = f"{tmp}/input"
+        # one file per source dir (repartition by source first), so each
+        # micro-batch (maxFilesPerTrigger=1) holds exactly one source
+        docs.repartition("source").write.partitionBy("source").parquet(in_dir)
+        static_schema = spark.read.parquet(in_dir).schema
+        cb = foreach_batch_validator(
+            baseline, categories, key_col="lang", out_rows=out_rows,
+            tag_col="source",
+        )
+        q = run_file_stream_validation(
+            spark, in_dir, static_schema, f"{tmp}/ckpt", cb,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        rows = [
+            (r["source"], r["n_rows"], round(r["psi"], 6), r["drift_detected"])
+            for r in out_rows
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, n_rows bigint, psi double, drift_detected boolean"
+    )
+
+
+SQL_STREAMING_DRIFT = """
+WITH base AS (SELECT lang, count(*) AS bn FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+     cur AS (SELECT source, lang, count(*) AS cn FROM documents WHERE lang IS NOT NULL GROUP BY source, lang),
+     srcs AS (SELECT DISTINCT source FROM documents),
+     grid AS (SELECT s.source, b.lang, CAST(b.bn AS DOUBLE) AS bn, CAST(coalesce(c.cn, 0) AS DOUBLE) AS cn
+              FROM srcs s CROSS JOIN base b
+              LEFT JOIN cur c ON c.source = s.source AND c.lang = b.lang),
+     t AS (SELECT source, sum(cn) AS sa, (SELECT sum(bn) FROM base) AS se FROM grid GROUP BY source),
+     p AS (SELECT g.source,
+                  sum((CASE WHEN g.cn = 0 THEN 0.0001 ELSE g.cn / t.sa END
+                       - CASE WHEN g.bn = 0 THEN 0.0001 ELSE g.bn / t.se END)
+                      * ln((CASE WHEN g.cn = 0 THEN 0.0001 ELSE g.cn / t.sa END)
+                           / (CASE WHEN g.bn = 0 THEN 0.0001 ELSE g.bn / t.se END))) AS raw
+           FROM grid g JOIN t USING (source) GROUP BY g.source)
+SELECT t.source, CAST(t.sa AS BIGINT) AS n_rows,
+       round(CASE WHEN t.sa = 0 OR t.se = 0 THEN 0 ELSE p.raw END, 6) AS psi,
+       (CASE WHEN t.sa = 0 OR t.se = 0 THEN 0 ELSE p.raw END) >= 0.2 AS drift_detected
+FROM t JOIN p USING (source)
 """
 
 
@@ -1026,6 +1132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_dispatch_profile": q_binary_dispatch_profile,
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
     "append_log_window": q_append_log_window,
+    "streaming_drift": q_streaming_drift,
     "schema_align_profile": q_schema_align_profile,
     "salted_source_stats": q_salted_source_stats,
     "hll_distinct_check": q_hll_distinct_check,
@@ -1065,6 +1172,7 @@ ORACLES: dict[str, str] = {
     "binary_dispatch_profile": SQL_BINARY_DISPATCH_PROFILE,
     "csv_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
     "append_log_window": SQL_APPEND_LOG_WINDOW,
+    "streaming_drift": SQL_STREAMING_DRIFT,
     "schema_align_profile": SQL_SCHEMA_ALIGN_PROFILE,
     "salted_source_stats": SQL_SALTED_SOURCE_STATS,
     "hll_distinct_check": SQL_HLL_DISTINCT_CHECK,

@@ -91,12 +91,19 @@ def foreach_batch_validator(
     key_col: str = "lang",
     out_rows: list | None = None,
     sink_path: str | None = None,
+    tag_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build a foreachBatch callback running the batch drift kernel per
     micro-batch: category histogram -> merged counts -> reference-exact PSI.
 
     ``baseline`` supplies expected category counts (dict cat -> count).
     Verdicts are appended to ``out_rows`` (tests) and/or ``sink_path``.
+
+    ``tag_col``: when set, each micro-batch emits one verdict row PER
+    distinct value of that column instead of one per batch. Verdicts are
+    then keyed by DATA, not by batch number — deterministic under any
+    file->batch assignment, which is what lets the streaming catalog entry
+    be compared against a static DuckDB oracle.
 
     Idempotency: foreachBatch side effects are at-least-once — a micro-batch
     retried after a failure re-runs this callback. The sink write is
@@ -107,26 +114,37 @@ def foreach_batch_validator(
     """
 
     def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        counts = {
-            r["k"]: r["n"]
-            for r in batch_df.groupBy(F.col(key_col).alias("k"))
+        gcols = [tag_col] if tag_col else []
+        counts_rows = (
+            batch_df.groupBy(*gcols, F.col(key_col).alias("k"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        }
+        )
+        tags = {r[tag_col] for r in counts_rows} if tag_col else {None}
         expected = [float(baseline.get(c, 0.0)) for c in categories]
-        actual = [float(counts.get(c, 0.0)) for c in categories]
-        psi = psi_from_counts(expected, actual)
-        verdict = {
-            "batch_id": int(batch_id),
-            "n_rows": int(sum(actual)),
-            "psi": float(psi),
-            "drift_detected": bool(psi >= PSI_ALARM_THRESHOLD),
-        }
+        verdicts = []
+        for tag in sorted(tags, key=lambda x: (x is None, str(x))):
+            counts = {
+                r["k"]: r["n"]
+                for r in counts_rows
+                if tag_col is None or r[tag_col] == tag
+            }
+            actual = [float(counts.get(c, 0.0)) for c in categories]
+            psi = psi_from_counts(expected, actual)
+            verdict = {
+                "batch_id": int(batch_id),
+                "n_rows": int(sum(actual)),
+                "psi": float(psi),
+                "drift_detected": bool(psi >= PSI_ALARM_THRESHOLD),
+            }
+            if tag_col is not None:
+                verdict[tag_col] = tag
+            verdicts.append(verdict)
         if out_rows is not None:
-            out_rows.append(verdict)
+            out_rows.extend(verdicts)
         if sink_path is not None:
             (
-                batch_df.sparkSession.createDataFrame([verdict])
+                batch_df.sparkSession.createDataFrame(verdicts)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")

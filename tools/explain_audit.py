@@ -35,6 +35,9 @@ AUDITED = [
     "embedding_neardup_lsh",
     "ann_ivf_topk",
     "column_profile",
+    # round-3 additions: single-scan N-feature drift, trained-codebook IVF
+    "multi_feature_drift",
+    "ann_ivf_trained_topk",
 ]
 
 CHECKS = {

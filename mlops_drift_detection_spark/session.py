@@ -63,6 +63,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # Opt-in extra jars (e.g. an iceberg-spark-runtime to flip the Iceberg
+    # adapter from emulated to real — see sources/iceberg.py and
+    # tests/test_iceberg_real.py's skip manifest).
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

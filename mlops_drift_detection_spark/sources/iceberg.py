@@ -82,16 +82,34 @@ class IcebergTableIO:
         except (FileNotFoundError, json.JSONDecodeError):
             return []
 
-    def _publish(self, entry: dict) -> None:
-        """Atomic snapshot-log swap (tmp + rename) — the emulated commit."""
-        log = self._read_log()
-        log.append(entry)
-        tmp = f"{self._log_path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(log, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._log_path)
+    def _publish(self, entry: dict) -> int:
+        """Commit the entry to the snapshot log; returns its sequence number.
+
+        Two-part discipline:
+        * writers serialize on an exclusive advisory ``flock`` for the whole
+          read-modify-write, so concurrent appenders can't lose each other's
+          commits (the pre-r3 version was last-writer-wins);
+        * the log itself is swapped via tmp + ``os.replace`` so READERS
+          (which take no lock) never observe a torn file.
+
+        Real Iceberg uses optimistic compare-and-swap on the metadata
+        pointer (commit, detect conflict, retry) rather than a lock — on
+        object storage there is nothing to flock. Same end state on a single
+        host: serialized, lossless, atomic-swap commits."""
+        import fcntl
+
+        with open(os.path.join(self.location, ".commit.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            log = self._read_log()
+            entry = {**entry, "sequence": len(log) + 1}
+            log.append(entry)
+            tmp = f"{self._log_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(log, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._log_path)
+            return entry["sequence"]
 
     # ------------------------------------------------------------------- api
     def append(self, df: DataFrame) -> str:
@@ -109,10 +127,11 @@ class IcebergTableIO:
         commit_id = uuid.uuid4().hex[:16]
         commit_dir = os.path.join(self._data_dir, f"commit-{commit_id}")
         df.write.mode("overwrite").parquet(commit_dir)
+        # sequence is assigned INSIDE _publish's lock — computing it here
+        # would race a concurrent appender
         self._publish(
             {
                 "snapshot_id": commit_id,
-                "sequence": len(self._read_log()) + 1,
                 "committed_at_epoch": time.time(),
                 "operation": "append",
                 "path": commit_dir,

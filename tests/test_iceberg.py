@@ -70,6 +70,37 @@ def test_empty_table_raises(table):
         table.read()
 
 
+def test_concurrent_appenders_lose_no_commits(spark, tmp_path):
+    """ADVICE r2: _publish serializes its read-modify-write under an
+    exclusive flock — N threads x M appends must yield exactly N*M snapshot
+    entries with sequences 1..N*M (the unlocked version was
+    last-writer-wins and silently dropped commits)."""
+    import threading
+
+    loc = str(tmp_path / "ctbl")
+    errs: list[Exception] = []
+
+    def worker(wid: int) -> None:
+        try:
+            t = IcebergTableIO(spark, loc, force_emulation=True)
+            for j in range(3):
+                t.append(spark.createDataFrame([(wid, j)], "w long, j long"))
+        except Exception as e:  # noqa: BLE001 — surfaced via assert below
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    t = IcebergTableIO(spark, loc, force_emulation=True)
+    snaps = t.snapshots()
+    assert len(snaps) == 12
+    assert sorted(s["sequence"] for s in snaps) == list(range(1, 13))
+    assert t.read().count() == 12
+
+
 def test_snapshot_log_is_valid_json_after_many_commits(table, spark):
     for i in range(5):
         table.append(spark.createDataFrame([(i,)], "id long"))

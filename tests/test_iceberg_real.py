@@ -1,0 +1,92 @@
+"""REAL Iceberg runtime tests + explicit SKIP MANIFEST.
+
+This sandbox ships no iceberg-spark-runtime jar and has no network access to
+fetch one (verified round 3: repo1.maven.org returns HTTP 000), so the
+adapter's real branch (`sources/iceberg.py` with ``real=True`` —
+``writeTo(...).append()``, ``format("iceberg")`` reads, ``.snapshots``
+metadata) CANNOT execute here. The tests below run automatically the moment
+a runtime appears; to enable:
+
+    export SPARK_GRAFT_EXTRA_JARS=/path/iceberg-spark-runtime-4.0_2.13-<v>.jar
+
+(picked up by session.get_spark) and start a fresh session — the catalog
+confs are set per-test at runtime.
+
+SKIP MANIFEST — what is and is not covered while these skip:
+
+Covered by the EMULATION tests (tests/test_iceberg.py), semantics faithful:
+  * append-only commits with monotone sequence numbers
+  * snapshot isolation: unpublished data dirs / torn log writes invisible
+  * time travel by snapshot id and by sequence number
+  * concurrent single-host appenders lose no commits (flock-serialized;
+    real Iceberg achieves this via optimistic CAS + retry instead)
+
+NOT covered anywhere until the real runtime is present:
+  * real metadata/manifest file layout + manifest-level file pruning
+  * hidden partition transforms (bucket/truncate/days...)
+  * schema evolution, compaction/rewrite actions
+  * optimistic-concurrency conflict detection across WRITERS ON DIFFERENT
+    HOSTS (object-storage CAS) — the flock emulation is single-host only
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.sources.iceberg import (
+    IcebergTableIO,
+    iceberg_available,
+)
+
+
+def _real_available(spark) -> bool:
+    return iceberg_available(spark)
+
+
+@pytest.fixture()
+def real_table(spark, tmp_path):
+    if not iceberg_available(spark):
+        pytest.skip(
+            "iceberg-spark-runtime not on the JVM classpath (no jar in the "
+            "sandbox, no network to fetch one) — see module docstring for "
+            "the exact coverage this skips"
+        )
+    spark.conf.set("spark.sql.catalog.it_real", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it_real.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_real.warehouse", str(tmp_path / "wh"))
+    spark.sql("CREATE TABLE it_real.db.t (id BIGINT, v STRING) USING iceberg")
+    return IcebergTableIO(spark, "it_real.db.t")
+
+
+def test_real_append_returns_snapshot_id(real_table, spark):
+    assert real_table.real is True
+    s1 = real_table.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    s2 = real_table.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert s1 != s2 and s1.isdigit() and s2.isdigit()
+    assert sorted(r["id"] for r in real_table.read().collect()) == [1, 2]
+
+
+def test_real_time_travel(real_table, spark):
+    s1 = real_table.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    real_table.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert [r["id"] for r in real_table.read(as_of_snapshot=s1).collect()] == [1]
+
+
+def test_real_snapshots_metadata(real_table, spark):
+    real_table.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    snaps = real_table.snapshots()
+    assert snaps and all("snapshot_id" in s for s in snaps)
+
+
+def test_real_partition_pruning(real_table, spark):
+    """Manifest-level pruning: a filter on the partition column must plan a
+    scan that skips other partitions' data files."""
+    spark.sql(
+        "CREATE TABLE it_real.db.tp (id BIGINT, part INT) USING iceberg "
+        "PARTITIONED BY (part)"
+    )
+    t = IcebergTableIO(spark, "it_real.db.tp")
+    t.append(spark.range(100).select(F.col("id"), (F.col("id") % 4).cast("int").alias("part")))
+    plan = (
+        t.read().where(F.col("part") == 1)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "filters=part" in plan.replace(" ", "") or "part=1" in plan

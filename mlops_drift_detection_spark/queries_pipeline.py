@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mlops_drift_detection_spark.functions.dedup import (
+    _pairs_from_sorted_ids,
     minhash_lsh_candidates,
     ngram_jaccard,
     simhash64_native,
@@ -45,6 +46,7 @@ from mlops_drift_detection_spark.functions.textstats import (
     quality_score,
     subword_count_bpe_ish,
     token_count,
+    winnow_fingerprints,
     wordset_fingerprint,
 )
 
@@ -583,6 +585,65 @@ FROM documents GROUP BY source
 """
 
 
+def q_winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (SIGMOD'03 MOSS
+    scheme; see functions.textstats.winnow_fingerprints): per-doc fingerprint
+    sets (char 8-grams, window 4) -> explode to (fp, doc_id) -> ONE
+    fingerprint-keyed groupBy -> in-bucket pair emission (the same capped
+    groupBy+array-explode shape as minhash LSH — no self-join) -> pairs
+    sharing >= 3 fingerprints.
+
+    The bucket cap (200) bounds the quadratic in-bucket work exactly like
+    ``minhash_lsh_candidates``; the oracle mirrors the cap literally, so the
+    capped plan IS the checked semantics. Scope doc_id < 600 for the same
+    reason as minhash: the synthetic corpus's tiny vocabulary makes truly-
+    shared substrings quadratic in table size."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    fps = docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp"),
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= 200))
+    )
+    pairs = buckets.select(
+        F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+# literal mirror of winnow_fingerprints(k=8, w=4) + the bucket cap: grams
+# exist when the normalized text has >= 8 chars, windows when >= 11; minima
+# are lexicographic over md5 hex in both engines
+SQL_WINNOW_FINGERPRINT_PAIRS = r"""
+WITH nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+             FROM documents WHERE doc_id < 600),
+g AS (SELECT doc_id,
+             CASE WHEN length(t) >= 8
+                  THEN list_transform(range(1, length(t) - 8 + 2), i -> md5(substr(t, CAST(i AS INT), 8)))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM nrm),
+m AS (SELECT doc_id,
+             CASE WHEN len(grams) >= 4
+                  THEN list_distinct(list_transform(range(1, len(grams) - 4 + 2), j -> list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)])))
+                  ELSE CAST([] AS VARCHAR[]) END AS fps
+      FROM g),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+b AS (SELECT fp FROM e GROUP BY fp HAVING count(*) > 1 AND count(*) <= 200),
+pr AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+       FROM e a JOIN e c ON a.fp = c.fp AND a.doc_id < c.doc_id
+       WHERE a.fp IN (SELECT fp FROM b))
+SELECT id_a, id_b, count(*) AS n_shared
+FROM pr GROUP BY id_a, id_b HAVING count(*) >= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (fake decode — codec layer stubbed, plan real)
 # --------------------------------------------------------------------------
@@ -644,6 +705,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_profile": q_text_quality_profile,
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
+    "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
     "media_profile": q_media_profile,
 }
 
@@ -661,5 +723,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,
+    "winnow_fingerprint_pairs": SQL_WINNOW_FINGERPRINT_PAIRS,
     "media_profile": SQL_MEDIA_PROFILE,
 }

@@ -62,6 +62,67 @@ def test_rolling_fingerprint_stability(df):
     assert a == b and "-" in a
 
 
+def _winnow_py(text: str, k: int = 8, w: int = 4) -> list[str]:
+    """Independent pure-Python winnowing (hashlib.md5 over utf-8) to pin the
+    Spark expression's exact semantics."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    grams = [
+        hashlib.md5(norm[i : i + k].encode()).hexdigest()
+        for i in range(len(norm) - k + 1)
+    ]
+    mins = {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+    return sorted(mins)
+
+
+def test_winnow_matches_pure_python(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "  The   QUICK brown fox  jumps over the lazy dog!!  ",
+        "abcdefghijk",
+    ]
+    rows = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["fps"]
+        for r in rows.select(
+            "id", T.winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_py(t), f"mismatch on text {i}"
+    # normalization: the case/whitespace variant (text 1 adds only a "!!"
+    # tail) keeps every fingerprint of text 0
+    assert set(got[0]) <= set(got[1])
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """SIGMOD'03 property: sharing a substring of length >= k + w - 1 implies
+    >= 1 shared fingerprint; docs shorter than k + w - 1 yield empty sets."""
+    shared = "zqxkwv jmplf trn"  # 16 chars >= 8 + 4 - 1
+    rows = spark.createDataFrame(
+        [
+            (0, f"left context {shared} right tail here"),
+            (1, f"completely other words {shared} and more"),
+            (2, "tiny"),  # < k
+            (3, "abcdefghij"),  # >= k but < k + w - 1
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: set(r["fps"])
+        for r in rows.select(
+            "id", T.winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert got[0] & got[1], "shared long substring must share a fingerprint"
+    assert got[2] == set() and got[3] == set() and got[4] == set()
+
+
 def test_text_profile(df):
     prof = T.text_profile(df.withColumn("g", F.lit("all")), "text", ["g"]).collect()[0]
     assert prof["n_docs"] == 6

@@ -145,6 +145,16 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     if not args.skip_headline:
+        # JVM/JIT warmup (standard bench discipline): run one untimed job
+        # through codegen + the parquet reader + a shuffle so the FIRST timed
+        # query measures its plan, not interpreter-tier JIT and classloading.
+        # Same-shaped warmup for every run, disclosed here and in BENCH.md.
+        from pyspark.sql import functions as F
+
+        spark.range(2_000_000).groupBy((F.col("id") % 16).alias("k")).agg(
+            F.sum("id"), F.avg("id")
+        ).collect()
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
         for name in HEADLINE:
             fn = QUERIES[name]
             # warm the reader metadata once, then time the full execution

@@ -54,10 +54,24 @@ def psi_from_counts(
 
 
 def _prop_array(counts: Column, total: Column) -> Column:
-    """counts / total with the 0 -> PROP_FLOOR floor applied post-normalize."""
+    """counts / total with the 0 -> PROP_FLOOR floor applied post-normalize.
+
+    The divisor is forced nonzero: when total == 0 every proportion is
+    floored anyway (and the callers' sum==0 guard zeroes the result), but the
+    division itself must never raise — ANSI mode makes double/0 an error, and
+    codegen subexpression elimination can hoist the division OUT of the
+    callers' ``when`` guard, so guarding at the call site is not enough
+    (found by hypothesis: all-zero current-window counts crashed psi_expr).
+    Flooring tests the *proportion* == 0, not the count == 0, mirroring the
+    reference's "floor zero proportions AFTER normalizing" rule exactly even
+    when a tiny count underflows to a zero proportion.
+    """
+    safe_total = F.when(total == F.lit(0.0), F.lit(1.0)).otherwise(total)
     return F.transform(
         counts,
-        lambda c: F.when(c == F.lit(0.0), F.lit(PROP_FLOOR)).otherwise(c / total),
+        lambda c: F.when(
+            (c / safe_total) == F.lit(0.0), F.lit(PROP_FLOOR)
+        ).otherwise(c / safe_total),
     )
 
 
@@ -135,7 +149,9 @@ def ks_expr(expected_counts: Column, actual_counts: Column) -> Column:
     a_sum = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
 
     def _cdf(arr: Column, total: Column) -> Column:
-        # aggregate into (running_total, array_of_cdf) struct
+        # aggregate into (running_total, array_of_cdf) struct; nonzero-safe
+        # divisor for the same ANSI/subexpr-hoisting reason as _prop_array
+        safe_total = F.when(total == F.lit(0.0), F.lit(1.0)).otherwise(total)
         return F.aggregate(
             arr,
             F.struct(
@@ -144,7 +160,9 @@ def ks_expr(expected_counts: Column, actual_counts: Column) -> Column:
             ),
             lambda acc, x: F.struct(
                 (acc["run"] + x).alias("run"),
-                F.concat(acc["cdf"], F.array((acc["run"] + x) / total)).alias("cdf"),
+                F.concat(
+                    acc["cdf"], F.array((acc["run"] + x) / safe_total)
+                ).alias("cdf"),
             ),
             lambda acc: acc["cdf"],
         )

@@ -1,0 +1,88 @@
+"""End-to-end `spark-submit --py-files` smoke test (north_rule packaging
+clause): the engine must run as a zipped dependency shipped to spark-submit,
+not just as an importable repo checkout.
+
+The test copies cli.py alone into a scratch dir and runs spark-submit from
+there — cli.py's repo-relative sys.path insert then points at a directory
+WITHOUT the package, so every `mlops_drift_detection_spark.*` import must
+resolve from the --py-files zip, exactly as on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(REPO, "mlops_drift_detection_spark")
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def test_spark_submit_py_files_full_pass(tmp_path):
+    # package the engine exactly as the README documents
+    zpath = tmp_path / "engine.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(PKG):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    entry = tmp_path / "cli.py"
+    shutil.copy(os.path.join(PKG, "cli.py"), entry)
+
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    workdir = tmp_path / "vrun"
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master",
+            "local[2]",
+            "--py-files",
+            str(zpath),
+            str(entry),
+            "--generate-rows",
+            "20000",
+            "--workdir",
+            str(workdir),
+            "--n-buckets",
+            "8",
+            "--n-waves",
+            "2",
+        ],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"spark-submit failed:\n{proc.stderr[-4000:]}"
+    # last JSON line on stdout is the orchestration status
+    status = None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            status = json.loads(line)
+            break
+    assert status is not None, f"no JSON status line in:\n{proc.stdout[-2000:]}"
+    assert status["status"] == "ok"
+    assert status["rows_validated"] >= 20000
+    assert status["violations"] > 0  # datagen plants violations
+    assert status["verdicts"] > 0
+    # durable outputs landed
+    out = workdir / "out"
+    assert (out / "violations").exists() and (out / "verdicts").exists()
+    assert (workdir / "manifest").exists()

@@ -1,0 +1,192 @@
+"""Property-based tests (hypothesis): the JVM-side kernels must agree with
+independent driver-side mirrors on arbitrary inputs, not just the curated
+unit-test fixtures.
+
+Each property batches the whole example into ONE DataFrame -> ONE Spark
+action, so hypothesis can run dozens of examples without dozens of job
+round-trips. deadline=None because a Spark action's latency is dominated by
+scheduling noise, not the property under test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.functions.textstats import winnow_fingerprints
+from mlops_drift_detection_spark.operators.histogram import bucket_expr_native
+from mlops_drift_detection_spark.operators.psi import (
+    ks_expr,
+    ks_from_counts,
+    psi_expr,
+    psi_from_counts,
+    psi_severity,
+    psi_severity_expr,
+)
+
+SETTINGS = settings(
+    max_examples=10,  # each example is a full Spark action (~2-4 s)
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# counts: non-negative, heavy on zeros (the floor path) and small ints
+count_val = st.one_of(
+    st.just(0.0),
+    st.integers(min_value=0, max_value=10_000).map(float),
+    st.floats(min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False),
+)
+
+
+@st.composite
+def count_pairs(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    e = draw(st.lists(count_val, min_size=n, max_size=n))
+    a = draw(st.lists(count_val, min_size=n, max_size=n))
+    return e, a
+
+
+@SETTINGS
+@given(st.lists(count_pairs(), min_size=1, max_size=10))
+def test_psi_and_ks_expr_match_numpy(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, e, a) for i, (e, a) in enumerate(pairs)],
+        "i long, e array<double>, a array<double>",
+    )
+    rows = df.select(
+        "i",
+        psi_expr(F.col("e"), F.col("a")).alias("psi"),
+        ks_expr(F.col("e"), F.col("a")).alias("ks"),
+        psi_severity_expr(psi_expr(F.col("e"), F.col("a"))).alias("sev"),
+    ).collect()
+    got = {r["i"]: r for r in rows}
+    for i, (e, a) in enumerate(pairs):
+        want_psi = psi_from_counts(e, a)
+        want_ks = ks_from_counts(e, a)
+        assert math.isclose(got[i]["psi"], want_psi, rel_tol=1e-9, abs_tol=1e-12), (
+            f"PSI mismatch on {e} vs {a}: spark={got[i]['psi']} numpy={want_psi}"
+        )
+        assert math.isclose(got[i]["ks"], want_ks, rel_tol=1e-9, abs_tol=1e-12), (
+            f"KS mismatch on {e} vs {a}: spark={got[i]['ks']} numpy={want_ks}"
+        )
+        assert got[i]["sev"] == psi_severity(want_psi)
+
+
+@SETTINGS
+@given(st.lists(count_pairs(), min_size=2, max_size=6))
+def test_psi_merge_first_rule(spark, pairs):
+    """PSI over element-wise-summed count vectors == PSI of the merged data.
+
+    This is the SURVEY §7 scale rule stated as a property: per-partition
+    histograms merge by addition BEFORE the PSI kernel runs, so computing
+    on the summed vectors is THE definition of correct — assert the numpy
+    oracle and the Spark expression agree on the merged vectors (padding
+    every pair to a common length so the merge is well-defined).
+    """
+    n = max(len(e) for e, _ in pairs)
+    e_tot = np.zeros(n)
+    a_tot = np.zeros(n)
+    for e, a in pairs:
+        e_tot[: len(e)] += e
+        a_tot[: len(a)] += a
+    df = spark.createDataFrame(
+        [(e_tot.tolist(), a_tot.tolist())], "e array<double>, a array<double>"
+    )
+    got = df.select(psi_expr(F.col("e"), F.col("a")).alias("psi")).collect()[0]["psi"]
+    want = psi_from_counts(e_tot, a_tot)
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-12)
+
+
+# grid-valued edges/values: boundary hits are frequent and exactly
+# representable, so pandas and the JVM see bit-identical doubles
+grid_val = st.integers(min_value=-400, max_value=400).map(lambda i: i * 0.25)
+
+
+@st.composite
+def edges_and_values(draw):
+    edges = sorted(draw(st.sets(grid_val, min_size=3, max_size=9)))
+    values = draw(
+        st.lists(
+            st.one_of(grid_val, st.sampled_from(edges), st.none()),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    return edges, values
+
+
+@SETTINGS
+@given(edges_and_values())
+def test_bucket_native_matches_pd_cut(spark, ev):
+    edges, values = ev
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i long, v double"
+    )
+    rows = df.select(
+        "i", bucket_expr_native(F.col("v"), edges).alias("b")
+    ).collect()
+    got = {r["i"]: r["b"] for r in rows}
+    codes = pd.cut(
+        pd.Series(values, dtype=float), bins=edges, include_lowest=True
+    ).cat.codes
+    for i, v in enumerate(values):
+        want = None if codes.iloc[i] == -1 else int(codes.iloc[i])
+        assert got[i] == want, (
+            f"bucket mismatch: value={v} edges={edges} spark={got[i]} pandas={want}"
+        )
+
+
+def _winnow_py(text: str, k: int = 8, w: int = 4) -> list[str]:
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    grams = [
+        hashlib.md5(norm[i : i + k].encode()).hexdigest()
+        for i in range(len(norm) - k + 1)
+    ]
+    mins = {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+    return sorted(mins)
+
+
+# ascii letters/digits/punct + the whitespace Java's \s and Python's \s agree on
+text_alphabet = st.sampled_from(
+    list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,;!?-_\t\n")
+)
+texts = st.text(alphabet=text_alphabet, min_size=0, max_size=60)
+
+
+@SETTINGS
+@given(st.lists(texts, min_size=1, max_size=20))
+def test_winnow_matches_python(spark, batch):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "i long, t string"
+    )
+    rows = df.select(
+        "i", winnow_fingerprints(F.col("t"), k=8, w=4).alias("fps")
+    ).collect()
+    got = {r["i"]: r["fps"] for r in rows}
+    for i, t in enumerate(batch):
+        assert got[i] == _winnow_py(t), f"winnow mismatch on {t!r}"
+
+
+@SETTINGS
+@given(texts, texts, texts)
+def test_winnow_shared_substring_guarantee(spark, left, mid, right):
+    """Schleimer et al. correctness property, adversarially instantiated:
+    ANY two docs embedding the same >= k+w-1-char substring share >= 1
+    fingerprint — with hypothesis choosing the surrounding context."""
+    shared = "zq1xk2wv3 jm4plf5trn6"  # 21 chars, no \s+ collapse inside
+    a = f"{left} {shared} {mid}"
+    b = f"{mid} {shared} {right}"
+    df = spark.createDataFrame([(0, a), (1, b)], "i long, t string")
+    rows = df.select(
+        "i", winnow_fingerprints(F.col("t"), k=8, w=4).alias("fps")
+    ).collect()
+    fps = {r["i"]: set(r["fps"]) for r in rows}
+    assert fps[0] & fps[1], f"no shared fingerprint between {a!r} and {b!r}"

@@ -35,9 +35,11 @@ AUDITED = [
     "embedding_neardup_lsh",
     "ann_ivf_topk",
     "column_profile",
-    # round-3 additions: single-scan N-feature drift, trained-codebook IVF
+    # round-3 additions: single-scan N-feature drift, trained-codebook IVF,
+    # winnowing fingerprint near-dup
     "multi_feature_drift",
     "ann_ivf_trained_topk",
+    "winnow_fingerprint_pairs",
 ]
 
 CHECKS = {

@@ -228,6 +228,112 @@ def ngram_jaccard(
     )
 
 
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = 3,
+    max_token_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity self-join via prefix filtering — the
+    deterministic member of the dedup family (minhash/simhash are
+    probabilistic; this is complete by construction, per the published
+    prefix-filter lemma from the SSJoin/PPJoin literature: Chaudhuri et al.
+    ICDE'06, Xiao et al. WWW'08).
+
+    Candidate generation: order every doc's distinct n-gram set by ONE global
+    total order (document frequency ascending, gram value tiebreak — rarest
+    first, the canonical choice because rare grams make small buckets), take
+    each doc's PREFIX of length ``|x| - ceil(t*|x|) + 1``, and bucket-join on
+    prefix grams. Lemma: any pair with ``J >= t`` has overlap
+    ``>= ceil(t*max(|A|,|B|))``, which pigeonholes at least one shared gram
+    into both prefixes — so bucket pairs are a superset of all true pairs,
+    and the exact array-intersect verification makes the result EQUAL to the
+    exhaustive all-pairs answer (pytest-asserted; the DuckDB oracle is the
+    exhaustive join).
+
+    Shuffle shape at 100 TB: (1) gram-frequency groupBy (map-side combine),
+    (2) gram-keyed join of the exploded doc-grams with the frequency table
+    (AQE broadcasts it when small) + per-doc re-aggregation, (3) prefix-gram
+    bucket groupBy with in-bucket pair emission — groupBy + array explode,
+    never a self-join — and (4) the verification joins. Every stage is
+    key-partitioned and linear except the in-bucket quadratic, which prefix
+    theory keeps small (a gram only lands in a prefix when rare-for-its-doc)
+    and ``max_token_bucket`` caps explicitly; audit what a cap drops with
+    :func:`prefix_bucket_stats` so truncation is never silent.
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+    )
+    toks = sets.select("id", F.size("grams").alias("sz"), F.explode("grams").alias("g"))
+    freq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(freq, "g")
+        .groupBy("id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("og"))
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefixes = ordered.select(
+        "id",
+        F.explode(
+            F.slice(F.transform("og", lambda s: s["g"]), F.lit(1), plen)
+        ).alias("g"),
+    )
+    buckets = (
+        prefixes.groupBy("g")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    if max_token_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_token_bucket)
+    cands = (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    return ngram_jaccard(df, cands, text_col, id_col, n=n).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def prefix_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = 3,
+    max_token_bucket: int = 1000,
+) -> DataFrame:
+    """(gram, size) for prefix-gram buckets a cap would drop — the audit twin
+    of ``max_token_bucket`` in :func:`prefix_filter_jaccard_join` (same
+    pattern as ``oversized_bucket_stats`` for minhash)."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+    )
+    toks = sets.select("id", F.size("grams").alias("sz"), F.explode("grams").alias("g"))
+    freq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(freq, "g")
+        .groupBy("id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("og"))
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    return (
+        ordered.select(
+            "id",
+            F.explode(
+                F.slice(F.transform("og", lambda s: s["g"]), F.lit(1), plen)
+            ).alias("g"),
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > max_token_bucket)
+    )
+
+
 def _fnv1a64(data: bytes) -> int:
     h = 0xCBF29CE484222325
     for byte in data:

@@ -644,6 +644,47 @@ FROM pr GROUP BY id_a, id_b HAVING count(*) >= 3
 """
 
 
+def q_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs (j >= 0.8) via prefix filtering —
+    the deterministic dedup-family member (minhash/simhash are probabilistic;
+    this one is COMPLETE by the published prefix-filter lemma, see
+    functions.dedup.prefix_filter_jaccard_join).
+
+    Because the operator is exact and complete, the oracle does NOT mirror
+    the candidate machinery: it is the exhaustive all-pairs Jaccard join —
+    any prefix-filter incompleteness would show up as a hash mismatch. The
+    bucket cap (2000, audited via prefix_bucket_stats) cannot trigger here:
+    a prefix bucket can never exceed the table's 500 rows."""
+    from mlops_drift_detection_spark.functions.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pairs = prefix_filter_jaccard_join(
+        docs, "text", "doc_id", threshold=0.8, n=3, max_token_bucket=2000
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# exhaustive all-pairs 3-gram Jaccard — the ground truth the prefix-filter
+# join must EQUAL (grams mirror functions.dedup.shingles(k=3) exactly,
+# including the < 3-token whole-text fallback)
+SQL_NGRAM_JACCARD_JOIN = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS ts
+           FROM documents WHERE doc_id < 500),
+g AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(ts) >= 3
+               THEN [array_to_string(ts[i+1:i+3],' ') FOR i IN range(0, len(ts)-2)]
+               ELSE [array_to_string(ts,' ')] END) AS grams
+      FROM t),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.grams,b.grams))::DOUBLE
+               / len(list_distinct(list_concat(a.grams,b.grams))) AS j
+      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (fake decode — codec layer stubbed, plan real)
 # --------------------------------------------------------------------------
@@ -706,6 +747,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
     "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
+    "ngram_jaccard_join": q_ngram_jaccard_join,
     "media_profile": q_media_profile,
 }
 
@@ -724,5 +766,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,
     "winnow_fingerprint_pairs": SQL_WINNOW_FINGERPRINT_PAIRS,
+    "ngram_jaccard_join": SQL_NGRAM_JACCARD_JOIN,
     "media_profile": SQL_MEDIA_PROFILE,
 }

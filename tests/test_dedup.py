@@ -191,3 +191,54 @@ def test_minhash_bucket_cap_drops_boilerplate_only(spark):
         df_all, "text", "id", num_hashes=32, bands=16, shingle_k=3, max_bucket_size=10
     ).collect()
     assert audit and all(r["size"] == 40 for r in audit)
+
+
+def test_prefix_filter_equals_exhaustive(spark):
+    """The prefix-filter join is EXACT: its output must equal the exhaustive
+    all-pairs n-gram Jaccard join — same pairs, same values — on the real
+    sf0.001 documents table, at two thresholds (the prefix length, and so
+    the candidate set, changes with t; completeness must not)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    all_pairs = a.join(b, F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    for t in (0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.prefix_filter_jaccard_join(
+                docs, "text", "doc_id", threshold=t, n=3
+            ).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard(docs, all_pairs, "text", "doc_id", n=3)
+            .where(F.col("jaccard") >= t)
+            .collect()
+        }
+        assert got == want, f"t={t}: prefix-filter != exhaustive"
+        assert want, f"t={t}: fixture produced no true pairs — test is vacuous"
+
+
+def test_prefix_filter_cap_drops_boilerplate_only(spark):
+    """Planted degenerate prefix bucket (many identical tiny docs share their
+    single gram): the cap bounds the quadratic, drops ONLY the boilerplate
+    pairs, and the audit view reports exactly what was dropped."""
+    clean = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        (2, "totally different words nothing shared here at all"),
+    ]
+    boiler = [(100 + i, "same tiny doc") for i in range(40)]
+    df_all = spark.createDataFrame(clean + boiler, "id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.prefix_filter_jaccard_join(
+            df_all, "text", "id", threshold=0.6, n=3, max_token_bucket=10
+        ).collect()
+    }
+    assert capped == {(0, 1)}  # clean near-dup found, boilerplate dropped
+    audit = D.prefix_bucket_stats(
+        df_all, "text", "id", threshold=0.6, n=3, max_token_bucket=10
+    ).collect()
+    assert audit and all(r["size"] == 40 for r in audit)

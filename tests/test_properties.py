@@ -190,3 +190,49 @@ def test_winnow_shared_substring_guarantee(spark, left, mid, right):
     ).collect()
     fps = {r["i"]: set(r["fps"]) for r in rows}
     assert fps[0] & fps[1], f"no shared fingerprint between {a!r} and {b!r}"
+
+
+def _ngram_jaccard_py(docs: list[list[str]], t: float, n: int = 3):
+    def grams(toks):
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+    gs = [grams(d) for d in docs]
+    out = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            jac = len(gs[i] & gs[j]) / len(gs[i] | gs[j])
+            if jac >= t:
+                out[(i, j)] = jac
+    return out
+
+
+vocab = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+doc_tokens = st.lists(vocab, min_size=1, max_size=12)
+
+
+@SETTINGS
+@given(
+    st.lists(doc_tokens, min_size=2, max_size=12),
+    st.sampled_from([0.5, 0.7, 0.8, 0.9, 1.0]),
+)
+def test_prefix_filter_complete_on_arbitrary_docs(spark, docs, t):
+    """The prefix-filter lemma, adversarially instantiated: on ARBITRARY
+    small-vocab corpora (heavy gram collisions, ties in the frequency
+    order, every size ratio) the prefix-filter join must equal the
+    exhaustive pairwise answer at every threshold."""
+    from mlops_drift_detection_spark.functions.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_join(
+            df, "text", "id", threshold=t, n=3
+        ).collect()
+    }
+    want = _ngram_jaccard_py(docs, t)
+    assert got == want, f"t={t}: spark={got} python={want}"

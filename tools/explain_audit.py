@@ -40,6 +40,7 @@ AUDITED = [
     "multi_feature_drift",
     "ann_ivf_trained_topk",
     "winnow_fingerprint_pairs",
+    "ngram_jaccard_join",
 ]
 
 CHECKS = {

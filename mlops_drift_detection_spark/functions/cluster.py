@@ -1,0 +1,129 @@
+"""Connected components over candidate-pair graphs — the clustering stage of
+a near-dup dedup pipeline (pairs -> clusters -> one survivor per cluster).
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public literature). Both
+operations are pure DataFrame joins/aggregations:
+
+* large-star: for each node u, connect every STRICTLY LARGER neighbor to
+  ``min(N(u) + {u})``.
+* small-star: orient edges large->small; for each node u, connect u and all
+  its (smaller) neighbors to their minimum.
+
+Each round is two groupBy-min aggregations and two joins — no collect_list,
+so a mega-cluster (the skew case: one boilerplate dup group with millions of
+members) never materializes a neighbor array on one task. Converges in
+O(log^2 n) rounds even for a path graph (plain min-label propagation needs
+O(n) rounds — ``test_cluster`` drives a 64-chain to prove the bound
+matters). Per-round ``localCheckpoint`` truncates the lineage — the
+documented pattern for iterative algorithms (without it every round
+re-executes all prior rounds).
+
+At convergence the edge set IS the component star: every non-root node
+points at its component's minimum id.
+
+Reference scope note: the reference app has no graph operator; this extends
+the dedup family the way a 100 TB training-data pipeline needs (near-dup
+GROUPS, not just pairs), per the round brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Dedup to canonical undirected form: src < dst, no self-loops."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("mn", F.col("src")).alias("mn"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    orient = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = orient.groupBy("src").agg(F.min("dst").alias("mn"))
+    neighbor_links = (
+        orient.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    self_links = mins.select("src", F.col("mn").alias("dst"))
+    return (
+        neighbor_links.union(self_links)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """(id, component) for every node in ``edges``; component = the minimum
+    node id reachable from it. ``edges`` needs columns ``src``/``dst``.
+
+    The driver-side loop holds only a (count, checksum) pair per round —
+    data never leaves the executors; convergence is detected by the edge
+    set's signature going stable (the star edge set is a fixpoint of both
+    operations).
+    """
+    e = _canon(edges).localCheckpoint()
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: order-independent AND can't hit ANSI long
+        # overflow (the edge set is distinct, so xor never self-cancels)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(e)
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # star edges: non-root -> root; roots appear only as dst
+    members = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component")).distinct()
+    return members.union(roots).distinct()
+
+
+def neardup_clusters(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """(id, cluster_id) for EVERY row of ``df``: nodes of the ``pairs`` graph
+    (columns id_a/id_b) get their component minimum, everything else is its
+    own singleton cluster. One broadcast-or-shuffle left join against the
+    (small) component map — the full table is never part of the iteration."""
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster_id"))
+    )

@@ -644,6 +644,51 @@ FROM pr GROUP BY id_a, id_b HAVING count(*) >= 3
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the stage after pair generation in a
+    real dedup pipeline: minhash-LSH candidates verified at word-set
+    Jaccard >= 0.9 (the exact spec of ``minhash_lsh_jaccard``, same <4e-8
+    LSH miss bound), then connected components via alternating large-star/
+    small-star rounds (functions.cluster) so every doc in the pair graph
+    gets its component's minimum doc_id as cluster id.
+
+    The oracle recomputes the exhaustive pair graph and resolves components
+    with a recursive CTE — a completely independent algorithm (transitive
+    closure) checking the star-contraction result."""
+    from mlops_drift_detection_spark.functions.cluster import connected_components
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    cands = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=64, bands=16, shingle_k=1
+    )
+    pairs = ngram_jaccard(docs, cands, "text", "doc_id", n=1).where(
+        F.col("jaccard") >= 0.9
+    )
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+SQL_NEARDUP_CLUSTERS = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)),'\s+')) AS ws
+      FROM documents WHERE doc_id < 1000),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+              / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
+
 def q_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-gram Jaccard near-dup pairs (j >= 0.8) via prefix filtering —
     the deterministic dedup-family member (minhash/simhash are probabilistic;
@@ -748,6 +793,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_by_source": q_token_counts_by_source,
     "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
     "ngram_jaccard_join": q_ngram_jaccard_join,
+    "neardup_clusters": q_neardup_clusters,
     "media_profile": q_media_profile,
 }
 
@@ -767,5 +813,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,
     "winnow_fingerprint_pairs": SQL_WINNOW_FINGERPRINT_PAIRS,
     "ngram_jaccard_join": SQL_NGRAM_JACCARD_JOIN,
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "media_profile": SQL_MEDIA_PROFILE,
 }

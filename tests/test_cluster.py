@@ -1,0 +1,82 @@
+"""Connected components (large-star/small-star) for near-dup clustering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.functions.cluster import (
+    connected_components,
+    neardup_clusters,
+)
+
+
+def _cc(spark, edge_list, **kw):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    return {
+        r["id"]: r["component"]
+        for r in connected_components(edges, **kw).collect()
+    }
+
+
+def test_two_components_and_ordering(spark):
+    got = _cc(spark, [(5, 3), (3, 9), (20, 21), (9, 5)])
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_chain_converges_logarithmically(spark):
+    """A 64-node path is the adversarial case: plain min-label propagation
+    needs 63 rounds; large-star/small-star must land well under the cap."""
+    got = _cc(spark, [(i, i + 1) for i in range(63)], max_iterations=16)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_mega_clique_no_neighbor_arrays(spark):
+    """A 200-member clique (the boilerplate-dup skew case, 19,900 edges):
+    the join/agg formulation never builds a neighbor list, so this completes
+    in the same few rounds as a tiny graph."""
+    edges = [(i, j) for i in range(200) for j in range(i + 1, 200)]
+    got = _cc(spark, edges, max_iterations=8)
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_union_find_mirror(spark):
+    """Random-ish fixed graphs vs a driver-side union-find."""
+    cases = [
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (7, 7)],
+        [(100, 1), (50, 100), (2, 50), (9, 8), (8, 7), (7, 9), (6, 9)],
+        [(0, 63), (63, 31), (31, 47), (5, 4)],
+    ]
+    for edge_list in cases:
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            parent[find(a)] = find(b)
+        nodes = {n for e in edge_list for n in e if e[0] != e[1]}
+        want = {}
+        for n in nodes:
+            root = find(n)
+            want[n] = min(m for m in nodes if find(m) == root)
+        got = _cc(spark, [e for e in edge_list if e[0] != e[1]])
+        assert got == want, f"mismatch on {edge_list}"
+
+
+def test_neardup_clusters_assigns_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 4), (4, 6)], "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in neardup_clusters(docs, "doc_id", pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 5, 6: 1, 7: 7}
+
+
+def test_nonconvergence_guard(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(63)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iterations=1)

@@ -1,0 +1,115 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and batch
+sessionization.
+
+* :func:`asof_join` — pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics
+  (for each left row, the most recent right row with ``right_ts <= left_ts``
+  per key), implemented with the union trick: tag both sides, ONE shuffle on
+  the key, in-partition sort, last-non-null carry-forward over a rows frame.
+  No join at all — so no row explosion, no broadcast pressure, and the cost
+  is exactly one sort-shuffle of |L| + |R| rows. The alternative (equi-join
+  on key + filter + per-pair window) is O(|L| x matches); this is
+  O(|L| + |R|).
+
+* :func:`sessionize` — gap-based session ids per key (a new session starts
+  when the time since the previous event exceeds ``gap``). Batch analogue of
+  Structured Streaming's native ``session_window``; one key-shuffle, the
+  lag and running-sum windows share one sort order (Catalyst plans a single
+  Sort + Window chain, no second exchange).
+
+Skew note (both): a window partitioned by key places each key's full
+history in one task. That is inherent to per-key ordered semantics; for a
+pathological hot key, pre-split by time range and stitch boundaries — the
+suite's salting utilities (operators/skew.py) cover the aggregation-side
+variant. Time comparisons use integer microseconds (``unix_micros``) so the
+DuckDB oracles (``epoch_us``) reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _micros(col: Column) -> Column:
+    """Integer microseconds since epoch. The cast makes TIMESTAMP_NTZ parquet
+    columns work too — the engine pins the session timezone to UTC
+    (session.py), so ntz->ltz is the identity and the integers match
+    DuckDB's epoch_us exactly."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join (inclusive: a right row at exactly ``left_ts``
+    matches, like ``merge_asof(allow_exact_matches=True)`` and DuckDB's
+    ``ON l.ts >= r.ts``).
+
+    Returns every left row plus ``<c>_asof`` for each of ``value_cols``
+    (NULL when no right row precedes, or when the match is older than
+    ``tolerance_seconds``). Right rows are expected unique per
+    (key, timestamp) — the supported contract, matching DuckDB ASOF.
+    """
+    payload = F.struct(
+        _micros(F.col(right_ts)).alias("__rts"),
+        *[F.col(c) for c in value_cols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        payload.alias("__p"),
+        F.lit(0).alias("__side"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        F.lit(1).alias("__side"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # rows frame (not the default range frame): multiple order keys, and the
+    # carry-forward must see a right row sorted immediately before a left
+    # row carrying the same timestamp (inclusive-match tie rule)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w)).where(
+        F.col("__side") == 1
+    )
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                _micros(F.col("__ts")) - F.col("__m.__rts")
+                <= int(tolerance_seconds * 1_000_000),
+                F.col("__m"),
+            ),
+        )
+    for c in value_cols:
+        out = out.withColumn(f"{c}_asof", F.col("__m")[c])
+    return out.drop("__ts", "__p", "__side", "__m")
+
+
+def sessionize(df: DataFrame, key: str, ts: str, gap_seconds: int) -> DataFrame:
+    """Adds ``session_id`` (0-based per key, in time order): a new session
+    starts when the gap since the key's previous event EXCEEDS
+    ``gap_seconds`` (a gap of exactly ``gap_seconds`` continues the
+    session, matching Structured Streaming's session_window)."""
+    order = Window.partitionBy(key).orderBy(ts)
+    micros = _micros(F.col(ts))
+    prev = F.lag(micros).over(order)
+    new_session = F.when(
+        prev.isNull() | ((micros - prev) > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(key).orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(new_session).over(running) - 1)

@@ -483,6 +483,91 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every event joined to its user's
+    most recent error event at or before it — the union-trick plan (ONE key
+    shuffle of |L|+|R| rows, in-partition sort, carry-forward; no join
+    operator at all). The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — an
+    independent implementation of the same published semantics. Includes
+    the inclusive-tie case by construction (each error matches itself at
+    lag 0)."""
+    from mlops_drift_detection_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("snap_value"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("snap_us"),
+    )
+    joined = asof_join(
+        ev, snaps, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["snap_value", "snap_us"],
+    )
+    lag_sec = (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("snap_us_asof")) / F.lit(1e6)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("snap_us_asof").alias("n_matched"),
+        F.round(F.avg(lag_sec), 4).alias("avg_lag_sec"),
+        F.round(F.sum("snap_value_asof"), 2).alias("sum_snap_value"),
+    )
+
+
+SQL_ASOF_JOIN_EVENTS = """
+WITH r AS (SELECT user_id, ts, value AS snap_value FROM events
+           WHERE event_type = 'error'),
+j AS (SELECT l.event_type, l.ts AS lts, r.ts AS rts, r.snap_value
+      FROM events l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts)
+SELECT event_type, count(*) AS n,
+       CAST(count(rts) AS BIGINT) AS n_matched,
+       round(avg((epoch_us(lts) - epoch_us(rts)) / 1e6), 4) AS avg_lag_sec,
+       round(sum(snap_value), 2) AS sum_snap_value
+FROM j GROUP BY event_type
+"""
+
+
+def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/temporal.py, 30-min gap) then
+    per-user session stats — the batch analogue of Structured Streaming's
+    session_window, oracle-mirrored with DuckDB window functions over the
+    same integer-microsecond arithmetic."""
+    from mlops_drift_detection_spark.operators.temporal import sessionize
+
+    ev = sessionize(_t(spark, sf_dir, "events"), "user_id", "ts", gap_seconds=1800)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_session = ev.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        ((F.max(us) - F.min(us)) / F.lit(60e6)).alias("dur_min"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+        F.round(F.avg("dur_min"), 4).alias("avg_session_min"),
+    )
+
+
+SQL_SESSIONIZED_EVENTS = """
+WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+s AS (SELECT user_id, us,
+             sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1
+               AS session_id
+      FROM x),
+g AS (SELECT user_id, session_id, count(*) AS n_ev,
+             (max(us) - min(us)) / 60e6 AS dur_min
+      FROM s GROUP BY user_id, session_id)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(max(n_ev) AS BIGINT) AS max_session_events,
+       round(avg(dur_min), 4) AS avg_session_min
+FROM g GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Derived columns / joins / scaling / impute (P3, F-ops, J-ops)
 # --------------------------------------------------------------------------
@@ -1120,6 +1205,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders": q_topk_orders,
     "set_except_langs": q_set_except_langs,
     "daily_event_windows": q_daily_event_windows,
+    "asof_join_events": q_asof_join_events,
+    "sessionized_events": q_sessionized_events,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "onehot_proportions": q_onehot_proportions,
@@ -1160,6 +1247,8 @@ ORACLES: dict[str, str] = {
     "topk_orders": SQL_TOPK_ORDERS,
     "set_except_langs": SQL_SET_EXCEPT_LANGS,
     "daily_event_windows": SQL_DAILY_EVENT_WINDOWS,
+    "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+    "sessionized_events": SQL_SESSIONIZED_EVENTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "onehot_proportions": SQL_ONEHOT_PROPORTIONS,

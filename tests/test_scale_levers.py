@@ -1,0 +1,95 @@
+"""Evidence tests for the two big shuffle levers the north rule names:
+AQE skew-join splitting (the referential join's mega-repo case) and bucketed
+co-located joins (pre-shuffled-at-write fact tables). These assert on the
+EXECUTED plan, not just configuration — proving the levers actually engage
+on this engine's session settings.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _final_plan(df) -> str:
+    df.collect()  # AQE finalizes the plan only after execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aqe_skew_join_actually_splits(spark):
+    """A planted mega-repo (one key owning ~95% of fact rows, the FIXTURES.md
+    skew case) must trigger AQE's OptimizeSkewedJoin on the engine's
+    referential shape — the left-anti join of facts against the dim — so the
+    final plan splits the skewed shuffle partition instead of one straggler
+    task processing the whole mega-key.
+
+    Shape lesson baked into this test (found empirically on Spark 4.1):
+    OptimizeSkewedJoin only fires when the join sits at a stage boundary —
+    an aggregation consuming the join INSIDE the same stage (e.g.
+    ``join(...).groupBy(...)``) suppresses the split. The referential check
+    emits violation rows straight to the sink, which is exactly the shape
+    that splits."""
+    confs = {
+        # force sort-merge (broadcast would hide the skew entirely)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # scale the skew detector down to test-sized data
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id") % 97)
+            .alias("repo_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(0, 90).select(F.col("id").alias("repo_id"))
+        dangling = fact.join(dim, "repo_id", "left_anti")
+        plan = _final_plan(dangling)
+        assert "SortMergeJoin" in plan, plan
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan, (
+            f"skew split did not engage:\n{plan}"
+        )
+        # and the anti-join is still correct: only keys 90..96 dangle
+        want = sum(1 for i in range(0, 300_000, 20) if i % 97 >= 90)
+        assert dangling.count() == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same (key, num_buckets) join with ZERO
+    Exchange in the plan — the write-time shuffle is reused. The same join
+    on plain parquet shuffles both sides (asserted as the control)."""
+    from mlops_drift_detection_spark.sources.io import write_bucketed
+
+    left = spark.range(0, 10_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(0, 2_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("rv")
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # control: plain shuffled join
+        plain = left.join(right, "k")
+        assert _final_plan(plain).count("Exchange") >= 2
+
+        write_bucketed(left, "t_bkt_left", "k", num_buckets=8)
+        write_bucketed(right, "t_bkt_right", "k", num_buckets=8)
+        bl = spark.table("t_bkt_left")
+        br = spark.table("t_bkt_right")
+        plan = _final_plan(bl.join(br, "k"))
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffled:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")

@@ -1,0 +1,118 @@
+"""As-of join + sessionization (operators/temporal.py)."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mlops_drift_detection_spark.operators.temporal import asof_join, sessionize
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> datetime:
+    return T0 + timedelta(minutes=minutes)
+
+
+def test_asof_join_basic_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0), "a"), (1, _ts(10), "b"), (1, _ts(20), "c"), (2, _ts(5), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(15), 200.0)],
+        "k long, rts timestamp, snap double",
+    )
+    got = {
+        r["tag"]: r["snap_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", value_cols=["snap"]
+        ).collect()
+    }
+    # a: nothing precedes; b: EXACT match is inclusive; c: latest (15') wins;
+    # d: key 2 has no right rows at all
+    assert got == {"a": None, "b": 100.0, "c": 200.0, "d": None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(30), "x"), (1, _ts(11), "y")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 7.0)], "k long, rts timestamp, snap double"
+    )
+    got = {
+        r["tag"]: r["snap_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            value_cols=["snap"], tolerance_seconds=300,
+        ).collect()
+    }
+    assert got == {"x": None, "y": 7.0}  # 20 min > 5 min tolerance; 1 min ok
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent mirror: 400 left x 60 right random rows per 8 keys vs
+    pandas.merge_asof (the published reference implementation)."""
+    rng = np.random.default_rng(7)
+    lrows = sorted(
+        (int(k), _ts(float(m)))
+        for k, m in zip(rng.integers(0, 8, 400), rng.uniform(0, 500, 400))
+    )
+    rrows = sorted(
+        (int(k), _ts(float(m)), float(v))
+        for k, m, v in zip(
+            rng.integers(0, 8, 60), rng.uniform(0, 500, 60), rng.normal(size=60)
+        )
+    )
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "i long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(rrows, "k long, rts timestamp, snap double")
+    got = {
+        r["i"]: r["snap_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", value_cols=["snap"]
+        ).collect()
+    }
+    lpd = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], columns=["i", "k", "ts"]
+    ).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["k", "rts", "snap"]).sort_values("rts")
+    want = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="rts", by="k", direction="backward"
+    )
+    for _, row in want.iterrows():
+        w = None if pd.isna(row["snap"]) else row["snap"]
+        assert got[row["i"]] == w, f"row {row['i']}: {got[row['i']]} != {w}"
+
+
+def test_sessionize_gap_rule(spark):
+    # exact-microsecond boundaries: the gap rule is STRICTLY-greater-than
+    t1 = T0
+    t2 = T0 + timedelta(seconds=1200)
+    t3 = t2 + timedelta(seconds=1800, microseconds=1)  # exceeds -> new
+    t4 = t3 + timedelta(seconds=1800)                  # exactly the gap -> same
+    ev = spark.createDataFrame(
+        [(1, t1), (1, t2), (1, t3), (1, t4), (2, t1)], "k long, ts timestamp"
+    )
+    got = sorted(
+        (r["k"], r["ts"], r["session_id"])
+        for r in sessionize(ev, "k", "ts", gap_seconds=1800).collect()
+    )
+    assert [g[2] for g in got] == [0, 0, 1, 1, 0]
+
+
+def test_sessionize_single_shuffle_plan(spark):
+    """Both window passes must share one Sort/Exchange (same partitioning
+    and ordering) — assert a single shuffle in the optimized plan."""
+    ev = spark.createDataFrame([(1, _ts(0))], "k long, ts timestamp")
+    plan = (
+        sessionize(ev, "k", "ts", gap_seconds=60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan

@@ -41,6 +41,9 @@ AUDITED = [
     "ann_ivf_trained_topk",
     "winnow_fingerprint_pairs",
     "ngram_jaccard_join",
+    # round-3: temporal operators (as-of join via union trick, sessionize)
+    "asof_join_events",
+    "sessionized_events",
 ]
 
 CHECKS = {

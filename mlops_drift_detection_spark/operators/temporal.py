@@ -100,9 +100,11 @@ def asof_join(
 
 def sessionize(df: DataFrame, key: str, ts: str, gap_seconds: int) -> DataFrame:
     """Adds ``session_id`` (0-based per key, in time order): a new session
-    starts when the gap since the key's previous event EXCEEDS
-    ``gap_seconds`` (a gap of exactly ``gap_seconds`` continues the
-    session, matching Structured Streaming's session_window)."""
+    starts when the gap since the key's previous event STRICTLY EXCEEDS
+    ``gap_seconds`` — two events exactly ``gap`` apart still merge, which is
+    Structured Streaming's ``session_window`` behavior (verified empirically
+    by the streaming-equivalence test, which plants that exact boundary:
+    session_window merges sessions whose ranges touch, end-inclusive)."""
     order = Window.partitionBy(key).orderBy(ts)
     micros = _micros(F.col(ts))
     prev = F.lag(micros).over(order)

@@ -730,6 +730,44 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
 """
 
 
+def q_curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composition a training-data run
+    actually executes, as ONE plan: exact dedup (md5 doc fingerprint,
+    keep-min-id winner via groupBy+semi-join — no window sort), then quality
+    gating (composite score >= 0.5 AND >= 10 tokens), then per-(lang,
+    source) corpus stats. Three shuffles total (fingerprint groupBy,
+    semi-join, final agg) regardless of how many filters compose — the gates
+    are all Column predicates in one projection."""
+    from mlops_drift_detection_spark.functions.textstats import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    with_fp = docs.withColumn("fp", doc_fingerprint(F.col("text")))
+    winners = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = with_fp.join(winners.select("doc_id"), "doc_id", "left_semi")
+    c = F.col("text")
+    curated = kept.where((quality_score(c) >= 0.5) & (token_count(c) >= 10))
+    return curated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_curated"),
+        F.sum(token_count(c)).alias("total_tokens"),
+        F.round(F.avg(quality_score(c)), 6).alias("avg_quality"),
+    )
+
+
+SQL_CURATED_CORPUS_STATS = f"""
+WITH f AS (SELECT doc_id, lang, source, text, md5(lower(trim(text))) AS fp
+           FROM documents),
+w AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp),
+kept AS (SELECT * FROM f WHERE doc_id IN (SELECT doc_id FROM w)),
+cur AS (SELECT lang, source, text FROM kept
+        WHERE {_sql_quality_score('text')} >= 0.5
+          AND {_sql_token_count('text')} >= 10)
+SELECT lang, source, count(*) AS n_curated,
+       CAST(sum({_sql_token_count('text')}) AS BIGINT) AS total_tokens,
+       round(avg({_sql_quality_score('text')}), 6) AS avg_quality
+FROM cur GROUP BY lang, source
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (fake decode — codec layer stubbed, plan real)
 # --------------------------------------------------------------------------
@@ -794,6 +832,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
     "ngram_jaccard_join": q_ngram_jaccard_join,
     "neardup_clusters": q_neardup_clusters,
+    "curated_corpus_stats": q_curated_corpus_stats,
     "media_profile": q_media_profile,
 }
 
@@ -814,5 +853,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "winnow_fingerprint_pairs": SQL_WINNOW_FINGERPRINT_PAIRS,
     "ngram_jaccard_join": SQL_NGRAM_JACCARD_JOIN,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "curated_corpus_stats": SQL_CURATED_CORPUS_STATS,
     "media_profile": SQL_MEDIA_PROFILE,
 }

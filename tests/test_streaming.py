@@ -244,3 +244,57 @@ def test_stateful_cumulative_drift(spark, stream_dirs):
     assert rows[1]["psi"] == pytest.approx(psi_from_counts(expected, cum), abs=1e-12)
     assert rows[1]["drift_detected"] == "true"
     assert rows[0]["psi"] < 0.2
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window (streaming, complete mode) and the batch
+    sessionize operator must produce IDENTICAL sessions — including at the
+    exact-gap boundary, planted here: two events exactly 30min apart DO
+    merge (session_window merges touching ranges, end-inclusive — verified
+    against this very test), and one microsecond beyond splits."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from mlops_drift_detection_spark.operators.temporal import sessionize
+
+    t = datetime(2024, 1, 1)
+    u1 = [t]
+    for gap_us in [600_000_000, 1_800_000_000, 1_800_000_001, 3_600_000_000]:
+        u1.append(u1[-1] + timedelta(microseconds=gap_us))
+    rows = [(1, ts) for ts in u1] + [(2, t)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    inp = str(tmp_path / "sess_in")
+    df.coalesce(1).write.parquet(inp)
+
+    # user 1 events sit at 0s, 600s, 2400s (exact-gap: merges), 4200.000001s
+    # (1us beyond: new session), 7800.000001s (1h later: new session) ->
+    # sessions {3 events}, {1}, {1}; user 2: one singleton
+    batch = (
+        sessionize(spark.read.parquet(inp), "user_id", "ts", gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    batch_sessions = sorted(
+        (r["user_id"], r["n_ev"]) for r in batch.collect()
+    )
+    assert batch_sessions == [(1, 1), (1, 1), (1, 3), (2, 1)]
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(inp)
+    sess = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    name = f"sesswin_{int(time.time() * 1000)}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    stream_sessions = sorted(
+        (r["user_id"], r["n_ev"]) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert stream_sessions == batch_sessions

@@ -90,11 +90,12 @@ def test_asof_join_matches_pandas_merge_asof(spark):
 
 
 def test_sessionize_gap_rule(spark):
-    # exact-microsecond boundaries: the gap rule is STRICTLY-greater-than
+    # exact-microsecond boundaries: session_window's end-INCLUSIVE merge —
+    # a gap of exactly gap_seconds continues the session; +1us starts a new
     t1 = T0
     t2 = T0 + timedelta(seconds=1200)
-    t3 = t2 + timedelta(seconds=1800, microseconds=1)  # exceeds -> new
-    t4 = t3 + timedelta(seconds=1800)                  # exactly the gap -> same
+    t3 = t2 + timedelta(seconds=1800, microseconds=1)  # exceeds -> NEW
+    t4 = t3 + timedelta(seconds=1800)                  # exactly gap -> same
     ev = spark.createDataFrame(
         [(1, t1), (1, t2), (1, t3), (1, t4), (2, t1)], "k long, ts timestamp"
     )

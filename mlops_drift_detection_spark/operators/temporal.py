@@ -98,6 +98,51 @@ def asof_join(
     return out.drop("__ts", "__p", "__side", "__m")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Range join — every (left row, right interval) pair with
+    ``start_ts <= left_ts < end_ts`` — as an EQUI-join.
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin (fine only
+    when one side broadcasts) or a cartesian product; the scale pattern is
+    time bucketing: each left row keys on its ``floor(ts / bucket)``, each
+    right interval explodes into the buckets it covers, and the join is a
+    plain hash/sort-merge equi-join on the bucket followed by the exact
+    residual predicate. A pair can only meet in the left row's single
+    bucket, so no dedup is needed. Choose ``bucket_seconds`` near the
+    typical interval length: the explode factor is
+    ``~1 + interval_len / bucket`` and candidate pairs are
+    ``|L| x (intervals per bucket)`` — both explicit, no quadratic cliff.
+    Output: all left columns + all right columns.
+    """
+    b = F.lit(bucket_seconds * 1_000_000)
+    lb = left.withColumn("__b", F.floor(_micros(F.col(left_ts)) / b))
+    rexp = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(_micros(F.col(start_ts)) / b),
+                # end is exclusive, but a row AT floor(end/bucket) can still
+                # precede end — include that bucket
+                F.floor(_micros(F.col(end_ts)) / b),
+            )
+        ),
+    )
+    return (
+        lb.join(rexp, "__b")
+        .where(
+            (F.col(left_ts) >= F.col(start_ts)) & (F.col(left_ts) < F.col(end_ts))
+        )
+        .drop("__b")
+    )
+
+
 def sessionize(df: DataFrame, key: str, ts: str, gap_seconds: int) -> DataFrame:
     """Adds ``session_id`` (0-based per key, in time order): a new session
     starts when the gap since the key's previous event STRICTLY EXCEEDS

@@ -527,6 +527,36 @@ FROM j GROUP BY event_type
 """
 
 
+def q_interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time bucketing (operators/temporal.interval_join):
+    which events fall inside ANY error's 10-minute aftermath window. A bare
+    range predicate would plan as a nested-loop/cartesian join; bucketing
+    makes it a hash equi-join on floor(ts/10min) + exact residual. The
+    oracle is DuckDB's native range join over the identical predicate."""
+    from mlops_drift_detection_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    wins = ev.where(F.col("event_type") == "error").select(
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    j = interval_join(ev, wins, "ts", "w_start", "w_end", bucket_seconds=600)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_events_covered"),
+    )
+
+
+SQL_INTERVAL_JOIN_ERROR_WINDOWS = """
+WITH w AS (SELECT ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
+           FROM events WHERE event_type = 'error')
+SELECT e.event_type, count(*) AS n_pairs,
+       count(DISTINCT e.event_id) AS n_events_covered
+FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY e.event_type
+"""
+
+
 def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/temporal.py, 30-min gap) then
     per-user session stats — the batch analogue of Structured Streaming's
@@ -1206,6 +1236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_except_langs": q_set_except_langs,
     "daily_event_windows": q_daily_event_windows,
     "asof_join_events": q_asof_join_events,
+    "interval_join_error_windows": q_interval_join_error_windows,
     "sessionized_events": q_sessionized_events,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1248,6 +1279,7 @@ ORACLES: dict[str, str] = {
     "set_except_langs": SQL_SET_EXCEPT_LANGS,
     "daily_event_windows": SQL_DAILY_EVENT_WINDOWS,
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+    "interval_join_error_windows": SQL_INTERVAL_JOIN_ERROR_WINDOWS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,

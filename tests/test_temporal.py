@@ -117,3 +117,66 @@ def test_sessionize_single_shuffle_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_interval_join_boundaries_and_uniqueness(spark):
+    from mlops_drift_detection_spark.operators.temporal import interval_join
+
+    # one interval [10', 40') spanning several 10-min buckets
+    wins = spark.createDataFrame(
+        [(_ts(10), _ts(40), "w1")], "w_start timestamp, w_end timestamp, w string"
+    )
+    left = spark.createDataFrame(
+        [
+            (0, _ts(10)),                                  # exactly start -> IN
+            (1, _ts(25)),                                  # middle bucket -> IN
+            (2, _ts(40)),                                  # exactly end -> OUT
+            (3, _ts(39.9999)), (4, _ts(9.9999)), (5, _ts(41)),
+        ],
+        "i long, ts timestamp",
+    )
+    got = sorted(
+        r["i"]
+        for r in interval_join(
+            left, wins, "ts", "w_start", "w_end", bucket_seconds=600
+        ).collect()
+    )
+    # each match exactly once even though the interval covers 4 buckets
+    assert got == [0, 1, 3]
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    """Bucketed equi-join == the naive range join on a randomized fixture,
+    at a bucket size both smaller and larger than the intervals."""
+    from mlops_drift_detection_spark.operators.temporal import interval_join
+
+    rng = np.random.default_rng(11)
+    left = spark.createDataFrame(
+        [(i, _ts(float(m))) for i, m in enumerate(rng.uniform(0, 1000, 300))],
+        "i long, ts timestamp",
+    )
+    wins = spark.createDataFrame(
+        [
+            (j, _ts(float(s)), _ts(float(s + d)))
+            for j, (s, d) in enumerate(
+                zip(rng.uniform(0, 1000, 40), rng.uniform(1, 60, 40))
+            )
+        ],
+        "j long, w_start timestamp, w_end timestamp",
+    )
+    naive = {
+        (r["i"], r["j"])
+        for r in left.join(
+            wins,
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        ).collect()
+    }
+    assert naive, "fixture produced no matches — test is vacuous"
+    for bucket in (300, 1800):
+        got = {
+            (r["i"], r["j"])
+            for r in interval_join(
+                left, wins, "ts", "w_start", "w_end", bucket_seconds=bucket
+            ).collect()
+        }
+        assert got == naive, f"bucket={bucket}"

@@ -44,6 +44,8 @@ AUDITED = [
     # round-3: temporal operators (as-of join via union trick, sessionize)
     "asof_join_events",
     "sessionized_events",
+    "interval_join_error_windows",
+    "curated_corpus_stats",
 ]
 
 CHECKS = {

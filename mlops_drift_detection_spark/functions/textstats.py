@@ -68,13 +68,22 @@ def stopword_ratio(col: Column, lang: str = "en") -> Column:
     )
 
 
-def quality_score(col: Column) -> Column:
-    """Composite [0,1] quality: enough length, sane punctuation, some
-    stopword mass (mirrors common pretraining-data filters)."""
+def quality_score_raw(col: Column) -> Column:
+    """Composite [0,1] quality, UNROUNDED: enough length, sane punctuation,
+    some stopword mass (mirrors common pretraining-data filters). Use this
+    for aggregation/gating — per-row decimal rounding of a double that sits
+    on a .XXXXXX5 tie is engine-dependent (Spark rounds the shortest-decimal
+    representation, DuckDB the binary value), so cross-engine-checked
+    pipelines round once at the END, never per row."""
     length_ok = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
     stop_ok = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
-    return F.round(0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok, 6)
+    return 0.4 * length_ok + 0.3 * punct_ok + 0.3 * stop_ok
+
+
+def quality_score(col: Column) -> Column:
+    """quality_score_raw rounded to 6dp — the display/report form."""
+    return F.round(quality_score_raw(col), 6)
 
 
 def language_id(col: Column) -> Column:

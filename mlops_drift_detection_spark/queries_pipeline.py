@@ -501,12 +501,16 @@ def _sql_stopword_ratio(col: str, lang: str = "en") -> str:
     return f"CASE WHEN {toks} > 0 THEN {hits}::DOUBLE / {toks} ELSE 0.0 END"
 
 
-def _sql_quality_score(col: str) -> str:
+def _sql_quality_score_raw(col: str) -> str:
     return (
-        f"round(0.4 * least(length({col}) / 500.0, 1.0)"
+        f"(0.4 * least(length({col}) / 500.0, 1.0)"
         f" + 0.3 * (1.0 - least({_sql_punct_ratio(col)} * 5.0, 1.0))"
-        f" + 0.3 * least({_sql_stopword_ratio(col)} * 5.0, 1.0), 6)"
+        f" + 0.3 * least({_sql_stopword_ratio(col)} * 5.0, 1.0))"
     )
+
+
+def _sql_quality_score(col: str) -> str:
+    return f"round({_sql_quality_score_raw(col)}, 6)"
 
 
 def _sql_language_id(col: str) -> str:
@@ -745,11 +749,20 @@ def q_curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = with_fp.join(winners.select("doc_id"), "doc_id", "left_semi")
     c = F.col("text")
-    curated = kept.where((quality_score(c) >= 0.5) & (token_count(c) >= 10))
+    # gate and aggregate on the UNROUNDED composite: rounding per row puts
+    # grid values on decimal ties where Spark (shortest-decimal HALF_UP) and
+    # DuckDB (binary-value rounding) legitimately disagree by 1e-6 — found
+    # live on this fixture (doc 480's composite sits on the 0.6106375 tie).
+    # Cross-engine-checked pipelines round ONCE, on the final aggregate of
+    # generic (non-grid) doubles, where a tie is measure-zero.
+    from mlops_drift_detection_spark.functions.textstats import quality_score_raw
+
+    q = quality_score_raw(c)
+    curated = kept.where((q >= 0.5) & (token_count(c) >= 10))
     return curated.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_curated"),
         F.sum(token_count(c)).alias("total_tokens"),
-        F.round(F.avg(quality_score(c)), 6).alias("avg_quality"),
+        F.round(F.sum(q), 4).alias("total_quality"),
     )
 
 
@@ -759,11 +772,11 @@ WITH f AS (SELECT doc_id, lang, source, text, md5(lower(trim(text))) AS fp
 w AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY fp),
 kept AS (SELECT * FROM f WHERE doc_id IN (SELECT doc_id FROM w)),
 cur AS (SELECT lang, source, text FROM kept
-        WHERE {_sql_quality_score('text')} >= 0.5
+        WHERE {_sql_quality_score_raw('text')} >= 0.5
           AND {_sql_token_count('text')} >= 10)
 SELECT lang, source, count(*) AS n_curated,
        CAST(sum({_sql_token_count('text')}) AS BIGINT) AS total_tokens,
-       round(avg({_sql_quality_score('text')}), 6) AS avg_quality
+       round(sum({_sql_quality_score_raw('text')}), 4) AS total_quality
 FROM cur GROUP BY lang, source
 """
 

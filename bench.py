@@ -102,8 +102,15 @@ def run_full_pass(spark, paths: dict[str, str], n_rows: int) -> dict:
     so compare like scale with like scale."""
     from mlops_drift_detection_spark.plans.suite import SuiteConfig, ValidationSuite
 
+    from pyspark.sql import functions as F
+
     cf = spark.read.parquet(paths["code_files"])
     cm = spark.read.parquet(paths["commits"])
+    # untimed warm scan (disclosed in BENCH.md): pulls the fixture into the
+    # OS page cache so the timed pass measures the engine, not whether a
+    # prior process evicted the parquet (cold cache measured 3-4x slower
+    # for the IDENTICAL pass)
+    cf.select(F.sum(F.length("content"))).collect()
     baseline = ValidationSuite.compute_baseline_snapshot(cf)
     cfg = SuiteConfig(n_partition_buckets=32, cache_waves=False)
     suite = ValidationSuite(baseline, cfg)

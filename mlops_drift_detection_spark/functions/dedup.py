@@ -16,6 +16,12 @@ needs numpy (Arrow-batched, never per-row Python).
   shares a band -> candidate generation is COMPLETE for thresholds <= 7).
 * ngram_jaccard — exact Jaccard on n-gram sets for a candidate pair set
   (verification stage after LSH).
+* prefix_filter_jaccard_join — EXACT n-gram Jaccard self-join via prefix
+  filtering (SSJoin/PPJoin lemma): deterministic completeness, no LSH miss
+  probability; rarest-first global gram order keeps prefix buckets small.
+
+Pair output feeds functions/cluster.py (connected components) for the
+cluster-assignment stage, and dedup_exact/keep-min picks survivors.
 """
 
 from __future__ import annotations

@@ -110,6 +110,35 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 128,
+    mode: str = "overwrite",
+) -> None:
+    """Size-governed parquet sink: AQE's REBALANCE hint re-plans the final
+    shuffle so every output partition lands near ``target_mb`` — splitting
+    skewed partitions AND coalescing tiny ones in one pass. This is the
+    small-files control a long-running 100 TB pipeline needs: a thousand
+    1 MB files poison every later scan (task-per-file scheduling, footer
+    overhead), one 10 GB file serializes a task; both come out of naive
+    ``df.write`` after skewed upstream stages. REBALANCE is the built-in,
+    statistics-driven answer — no hand-tuned ``repartition(n)`` that's wrong
+    at the next data size. (Shuffle-size ~ on-disk parquet size for text;
+    columnar-compressible data lands under target, which errs safe.)"""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, f"{target_mb}m")
+    try:
+        df.hint("rebalance").write.mode(mode).parquet(path)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
 def append_log(
     df: DataFrame,
     path: str,

@@ -93,3 +93,41 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS t_bkt_left")
         spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_write_compacted_governs_file_sizes(spark, tmp_path):
+    """A skewed dataframe (one fat partition + 31 near-empty ones) writes
+    one oversized file and a pile of tiny ones naively; write_compacted's
+    REBALANCE pass must land every file near the target with no data loss."""
+    import glob
+    import os
+
+    from mlops_drift_detection_spark.sources.io import write_compacted
+
+    # ~45 MB of incompressible-ish text in partition 0, crumbs elsewhere
+    skewed = (
+        spark.range(0, 150_000)
+        .select(
+            F.col("id"),
+            F.sha2(F.col("id").cast("string"), 512).alias("a"),
+            F.sha2((F.col("id") + 1).cast("string"), 512).alias("b"),
+        )
+        .repartition(32, (F.col("id") % 100 != 0).cast("int"))
+    )
+    naive = str(tmp_path / "naive")
+    skewed.write.parquet(naive)
+    naive_sizes = sorted(
+        os.path.getsize(f) for f in glob.glob(f"{naive}/*.parquet")
+    )
+
+    compacted = str(tmp_path / "compacted")
+    write_compacted(skewed, compacted, target_mb=4)
+    sizes = sorted(os.path.getsize(f) for f in glob.glob(f"{compacted}/*.parquet"))
+
+    assert spark.read.parquet(compacted).count() == 150_000  # no data loss
+    # the naive layout's max file dwarfs its median; the compacted one's
+    # files sit in a band around the target (parquet compression means
+    # under-target is fine; >3x over is not)
+    assert naive_sizes[-1] > 5 * max(naive_sizes[len(naive_sizes) // 2], 1)
+    assert len(sizes) > 1, "skew was not split"
+    assert max(sizes) < 3 * 4 * 1024 * 1024, f"oversized file: {sizes[-1]}"

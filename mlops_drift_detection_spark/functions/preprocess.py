@@ -166,3 +166,44 @@ def hash_split(
         cond = bucket < F.lit(int(round(acc * buckets)))
         expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
     return df.withColumn("split", expr.otherwise(F.lit(labels[-1])))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the A-ES scheme
+    (Efraimidis & Spirakis, IPL 2006): each row gets priority u^(1/w) for a
+    uniform u, and the n largest priorities are the sample, giving inclusion
+    probability proportional to weight.
+
+    Spark-first shape: u is derived from md5(id, seed), NOT rand() — fully
+    deterministic across retries/stragglers (a recomputed task must sample
+    the SAME rows or speculative execution corrupts the sample) and
+    reproducible by the DuckDB oracle bit-for-bit. The order-by + limit
+    compiles to TakeOrderedAndProject: each partition keeps a local top-n
+    heap and only n rows per partition reach the driver-side merge — no
+    global sort, no full shuffle, works at any scale where n fits in memory.
+    Weights must be strictly positive."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967297.0)  # (k+1) / (2^32 + 1) in (0, 1]
+    priority = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (
+        df.withColumn("__priority", priority)
+        .orderBy(F.desc("__priority"), F.col(id_col))
+        .limit(n)
+        .drop("__priority")
+    )

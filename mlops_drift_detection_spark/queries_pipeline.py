@@ -781,6 +781,30 @@ FROM cur GROUP BY lang, source
 """
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (A-ES, functions.preprocess
+    .weighted_sample): 100 docs with inclusion probability proportional to
+    n_chars. md5-derived uniforms make the sample identical across task
+    retries/partitionings AND bit-reproducible by the oracle; the plan is
+    TakeOrderedAndProject (per-partition top-n heaps, no global sort)."""
+    from mlops_drift_detection_spark.functions.preprocess import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return weighted_sample(docs, "n_chars", 100, "doc_id", seed=42).select(
+        "doc_id", "n_chars"
+    )
+
+
+SQL_WEIGHTED_SAMPLE_DOCS = """
+WITH u AS (SELECT doc_id, n_chars,
+             (CAST(('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 8)) AS BIGINT)
+               + 1.0) / 4294967297.0 AS uu
+           FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars FROM u
+ORDER BY pow(uu, 1.0 / n_chars) DESC, doc_id LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (fake decode — codec layer stubbed, plan real)
 # --------------------------------------------------------------------------
@@ -846,6 +870,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_join": q_ngram_jaccard_join,
     "neardup_clusters": q_neardup_clusters,
     "curated_corpus_stats": q_curated_corpus_stats,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "media_profile": q_media_profile,
 }
 
@@ -867,5 +892,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ngram_jaccard_join": SQL_NGRAM_JACCARD_JOIN,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "curated_corpus_stats": SQL_CURATED_CORPUS_STATS,
+    "weighted_sample_docs": SQL_WEIGHTED_SAMPLE_DOCS,
     "media_profile": SQL_MEDIA_PROFILE,
 }

@@ -115,3 +115,43 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert abs(c1["train"] / n - 0.7) < 0.02
     assert abs(c1["val"] / n - 0.1) < 0.02
     assert abs(c1["test"] / n - 0.2) < 0.02
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from mlops_drift_detection_spark.functions.preprocess import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1_000_000.0 if i == 7 else 1.0) for i in range(200)],
+        "id long, w double",
+    )
+    s1 = sorted(r["id"] for r in weighted_sample(df, "w", 20, "id").collect())
+    # determinism: same seed -> same set regardless of physical partitioning
+    s2 = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(13), "w", 20, "id").collect()
+    )
+    assert s1 == s2
+    # the overwhelming-weight row is (essentially) always included
+    assert 7 in s1
+    # different seed -> (almost surely) different set, same size
+    s3 = sorted(r["id"] for r in weighted_sample(df, "w", 20, "id", seed=99).collect())
+    assert len(s3) == 20 and s3 != s1
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """A-ES property check: across many seeds, a weight-10 row should be
+    sampled far more often than weight-1 rows."""
+    from collections import Counter
+
+    from mlops_drift_detection_spark.functions.preprocess import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 10 else 1.0) for i in range(100)], "id long, w double"
+    )
+    hits = Counter()
+    for seed in range(15):
+        for r in weighted_sample(df, "w", 10, "id", seed=seed).collect():
+            hits[r["id"]] += 1
+    heavy = sum(hits[i] for i in range(10)) / 10        # avg hits, weight 10
+    light = sum(hits[i] for i in range(10, 100)) / 90   # avg hits, weight 1
+    assert heavy > 3 * light, f"heavy {heavy} vs light {light}"

@@ -46,6 +46,7 @@ AUDITED = [
     "sessionized_events",
     "interval_join_error_windows",
     "curated_corpus_stats",
+    "weighted_sample_docs",
 ]
 
 CHECKS = {
@@ -58,7 +59,10 @@ CHECKS = {
     "partial aggregation before shuffle": lambda p, s: "partial_" in p
     or "Functions: []" in p
     or "HashAggregate" not in p,
-    "AQE enabled": lambda p, s: "AdaptiveSparkPlan" in p,
+    # a plan with NO exchange (e.g. TakeOrderedAndProject sampling) never
+    # gets an AdaptiveSparkPlan wrapper — there is nothing to adapt; that's
+    # the best case, not a miss
+    "AQE enabled": lambda p, s: "AdaptiveSparkPlan" in p or "Exchange" not in p,
 }
 
 

@@ -557,6 +557,35 @@ GROUP BY e.event_type
 """
 
 
+def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PER GROUP (k=3 longest docs per lang) via a rank-filtered
+    window. Spark >= 3.5 rewrites ``row_number() <= k`` into
+    WindowGroupLimit: every input partition keeps only its local top-k
+    BEFORE the shuffle, so shuffle volume is O(groups x k x partitions)
+    instead of the whole table — the per-group analogue of
+    TakeOrderedAndProject (plan-audited in EXPLAIN.md)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "lang", "doc_id", "n_chars",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+SQL_TOPK_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars, rk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents) WHERE rk <= 3
+"""
+
+
 def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (operators/temporal.py, 30-min gap) then
     per-user session stats — the batch analogue of Structured Streaming's
@@ -1238,6 +1267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "interval_join_error_windows": q_interval_join_error_windows,
     "sessionized_events": q_sessionized_events,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "onehot_proportions": q_onehot_proportions,
@@ -1281,6 +1311,7 @@ ORACLES: dict[str, str] = {
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "interval_join_error_windows": SQL_INTERVAL_JOIN_ERROR_WINDOWS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
+    "topk_docs_per_lang": SQL_TOPK_DOCS_PER_LANG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "onehot_proportions": SQL_ONEHOT_PROPORTIONS,

@@ -47,6 +47,7 @@ AUDITED = [
     "interval_join_error_windows",
     "curated_corpus_stats",
     "weighted_sample_docs",
+    "topk_docs_per_lang",
 ]
 
 CHECKS = {

@@ -187,7 +187,17 @@ def weighted_sample(
     compiles to TakeOrderedAndProject: each partition keeps a local top-n
     heap and only n rows per partition reach the driver-side merge — no
     global sort, no full shuffle, works at any scale where n fits in memory.
-    Weights must be strictly positive."""
+    Weights must be strictly positive.
+
+    Priority form: rank by ln(u)/w, NOT u^(1/w) (same order — ln is
+    monotonic and both are negative-domain increasing in u). pow compounds
+    two non-correctly-rounded transcendentals across engines (java.lang
+    .Math.pow vs libm std::pow), so a 1-ulp divergence at the rank-n
+    boundary could flip the selected row; ln(u)/w is ONE transcendental of
+    an exactly-reproduced operand followed by a correctly-rounded IEEE
+    division, and the result is then rounded to 1e-9 so a sub-ulp
+    cross-engine wobble cannot straddle the ordering grid (ties on the
+    grid break by id in both engines) — ADVICE r3."""
     u = (
         F.conv(
             F.substring(
@@ -200,7 +210,7 @@ def weighted_sample(
         ).cast("double")
         + 1.0
     ) / F.lit(4294967297.0)  # (k+1) / (2^32 + 1) in (0, 1]
-    priority = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    priority = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
     return (
         df.withColumn("__priority", priority)
         .orderBy(F.desc("__priority"), F.col(id_col))

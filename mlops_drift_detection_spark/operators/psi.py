@@ -47,7 +47,14 @@ def psi_from_counts(
     actual_prop = actual / actual.sum()
     expected_prop = np.where(expected_prop == 0, PROP_FLOOR, expected_prop)
     actual_prop = np.where(actual_prop == 0, PROP_FLOOR, actual_prop)
-    psi = np.sum((actual_prop - expected_prop) * np.log(actual_prop / expected_prop))
+    # extreme count ratios (floored prop / denormal prop) can overflow the
+    # division to inf; the NaN/Inf guard below already handles the result
+    # (reference drift_detector.py:82-83), so silence the RuntimeWarning to
+    # keep real warnings visible in test runs (VERDICT r3 minor #3)
+    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+        psi = np.sum(
+            (actual_prop - expected_prop) * np.log(actual_prop / expected_prop)
+        )
     if np.isnan(psi) or np.isinf(psi):
         return 0.0
     return float(psi)

@@ -363,14 +363,19 @@ class ValidationSuite:
         if output_dir is not None:
             # authoritative outputs come from the durable sink: every wave of
             # this run plus skipped partitions recovered from prior runs
-            # (their rows keep the run_id that produced them)
+            # (their rows keep the run_id that produced them). The read is
+            # FILTERED to this run's partition set — dynamic overwrite never
+            # clears partitions outside the touched waves, so after a bucket-
+            # count change (or an input that lost part_ids) the sink can hold
+            # stale directories that must not leak into verdicts/summary
+            # (ADVICE r3).
             viol_cols = C.empty_violations(spark).columns + ["run_id"]
             verd_cols = [f.split()[0] for f in verd_schema.split(",")]
             violations_out = self._read_sink(
-                spark, f"{output_dir}/violations", None, viol_cols
+                spark, f"{output_dir}/violations", all_parts, viol_cols
             )
             verdicts_out = self._read_sink(
-                spark, f"{output_dir}/verdicts", None, verd_cols
+                spark, f"{output_dir}/verdicts", all_parts, verd_cols
             )
         if violations_out is None:
             violations_out = C.empty_violations(spark).withColumn(

@@ -1017,15 +1017,18 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (readStream -> foreachBatch -> drift kernel).
 
     Verdicts are keyed by the batch's ``source`` (tag_col), i.e. by DATA
-    rather than batch number, so the streamed result equals a static
-    computation no matter how files map to batches — which is exactly what
-    the DuckDB oracle computes: per-source lang-mix PSI vs the whole-table
-    baseline. Temp input/checkpoint dirs are removed in ``finally`` after
-    the (tiny) verdict rows are materialized."""
+    rather than batch number. The streamed result equals the static DuckDB
+    oracle (per-source lang-mix PSI vs the whole-table baseline) because the
+    input is laid out as exactly ONE file per source and
+    maxFilesPerTrigger=1 — each source arrives whole in one micro-batch;
+    ``assert_unique_tags`` verifies that precondition held (ADVICE r3).
+    Temp input/checkpoint dirs are removed in ``finally`` after the (tiny)
+    verdict rows are materialized."""
     import shutil
     import tempfile
 
     from mlops_drift_detection_spark.streaming.drift_stream import (
+        assert_unique_tags,
         foreach_batch_validator,
         run_file_stream_validation,
     )
@@ -1057,6 +1060,10 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_files_per_trigger=1,
         )
         q.awaitTermination()
+        # one-file-per-source precondition check: a source split across
+        # micro-batches would make per-batch PSI a partial of the static
+        # per-source PSI the oracle computes (ADVICE r3)
+        assert_unique_tags(out_rows, "source")
         rows = [
             (r["source"], r["n_rows"], round(r["psi"], 6), r["drift_detected"])
             for r in out_rows

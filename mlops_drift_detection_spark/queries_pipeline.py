@@ -801,7 +801,7 @@ WITH u AS (SELECT doc_id, n_chars,
                + 1.0) / 4294967297.0 AS uu
            FROM documents WHERE n_chars > 0)
 SELECT doc_id, n_chars FROM u
-ORDER BY pow(uu, 1.0 / n_chars) DESC, doc_id LIMIT 100
+ORDER BY round(ln(uu) / n_chars, 9) DESC, doc_id LIMIT 100
 """
 
 

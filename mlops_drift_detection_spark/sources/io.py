@@ -125,7 +125,15 @@ def write_compacted(
     ``df.write`` after skewed upstream stages. REBALANCE is the built-in,
     statistics-driven answer — no hand-tuned ``repartition(n)`` that's wrong
     at the next data size. (Shuffle-size ~ on-disk parquet size for text;
-    columnar-compressible data lands under target, which errs safe.)"""
+    columnar-compressible data lands under target, which errs safe.)
+
+    Session-wide side effect (ADVICE r3): the advisory-partition-size conf
+    is SESSION-scoped, so any query that happens to run concurrently on the
+    same SparkSession during this write picks up the altered AQE target for
+    its own shuffles. Single-threaded drivers (this engine's CLI and tests)
+    are unaffected; a multi-tenant driver should call this through its own
+    ``spark.newSession()`` (shared SparkContext, isolated SQL conf) after
+    re-deriving ``df`` in that session."""
     spark = df.sparkSession
     key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     saved = spark.conf.get(key, None)

@@ -100,10 +100,15 @@ def foreach_batch_validator(
     Verdicts are appended to ``out_rows`` (tests) and/or ``sink_path``.
 
     ``tag_col``: when set, each micro-batch emits one verdict row PER
-    distinct value of that column instead of one per batch. Verdicts are
-    then keyed by DATA, not by batch number — deterministic under any
-    file->batch assignment, which is what lets the streaming catalog entry
-    be compared against a static DuckDB oracle.
+    distinct value of that column instead of one per batch, so verdicts are
+    keyed by DATA, not by batch number. SCOPE (ADVICE r3): PSI is still
+    computed from the counts WITHIN one micro-batch — the per-tag verdicts
+    equal the static per-tag PSI only when each tag's rows arrive wholly
+    inside a single micro-batch (the catalog entry guarantees this by
+    writing one file per tag and letting availableNow assign file->batch;
+    ``assert_unique_tags`` then verifies it post-hoc). A tag split across
+    micro-batches yields multiple partial verdicts for that tag, which is
+    the correct streaming-incremental semantics but NOT the static oracle's.
 
     Idempotency: foreachBatch side effects are at-least-once — a micro-batch
     retried after a failure re-runs this callback. The sink write is
@@ -152,6 +157,27 @@ def foreach_batch_validator(
             )
 
     return _on_batch
+
+
+def assert_unique_tags(out_rows: list[dict], tag_col: str) -> None:
+    """Verify the one-tag-one-batch precondition that makes per-tag
+    streaming verdicts equal the static per-tag computation (ADVICE r3): if
+    any tag value produced MORE than one verdict row, that tag's rows were
+    split across micro-batches and the per-batch PSIs are partials, not the
+    static answer. Fail loudly rather than hand a silently-diverging result
+    to the oracle compare."""
+    seen: dict = {}
+    for r in out_rows:
+        tag = r.get(tag_col)
+        if tag in seen:
+            raise AssertionError(
+                f"tag {tag!r} emitted verdicts in micro-batches "
+                f"{seen[tag]} and {r['batch_id']}: its rows were split "
+                "across batches, so per-batch PSI != static per-tag PSI. "
+                "Write exactly one input file per tag (see "
+                "foreach_batch_validator docstring)."
+            )
+        seen[tag] = r["batch_id"]
 
 
 STATE_SCHEMA = StructType([StructField("counts_csv", StringType())])

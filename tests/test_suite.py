@@ -270,3 +270,25 @@ def test_resume_refuses_stale_lineage(data, tmp_path):
     m2 = CheckpointManifest(mdir, {"input": "v2-CHANGED"})
     res = suite.run(cf, cm, manifest=m2, resume=True)
     assert res.skipped_partitions == []
+
+
+def test_sink_read_excludes_stale_partitions(data, tmp_path):
+    """ADVICE r3: the final sink read must be scoped to THIS run's partition
+    set. Dynamic partition overwrite never clears untouched directories, so
+    after n_partition_buckets shrinks (8 -> 4) the sink still holds the old
+    run's partitions 4..7 — those rows must not leak into the new run's
+    verdicts/violations/summary."""
+    _, cf, cm, baseline = data
+    out = str(tmp_path / "sink")
+    wide = ValidationSuite(baseline, SuiteConfig(n_partition_buckets=8))
+    wide.run(cf, cm, output_dir=out)
+    narrow = ValidationSuite(baseline, SuiteConfig(n_partition_buckets=4))
+    res = narrow.run(cf, cm, output_dir=out)
+    vparts = {r["partition"] for r in res.verdicts.select("partition").distinct().collect()}
+    assert vparts == {"0", "1", "2", "3"}, f"stale partitions leaked: {vparts}"
+    viparts = {
+        r["partition"] for r in res.violations.select("partition").distinct().collect()
+    }
+    assert viparts <= {"0", "1", "2", "3"}
+    # exactly one verdict run_id: nothing resumed in from the 8-bucket run
+    assert res.verdicts.select("run_id").distinct().count() == 1

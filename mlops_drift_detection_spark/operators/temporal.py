@@ -18,10 +18,13 @@ sessionization.
 
 Skew note (both): a window partitioned by key places each key's full
 history in one task. That is inherent to per-key ordered semantics; for a
-pathological hot key, pre-split by time range and stitch boundaries — the
-suite's salting utilities (operators/skew.py) cover the aggregation-side
-variant. Time comparisons use integer microseconds (``unix_micros``) so the
-DuckDB oracles (``epoch_us``) reproduce them exactly.
+pathological hot key, :func:`sessionize_split` pre-splits each key's
+timeline into fixed time chunks (per-(key, chunk) local sessions, then a
+boundary stitch over the tiny per-chunk summary) so a 1M-event key fans out
+across tasks — the suite's salting utilities (operators/skew.py) cover the
+aggregation-side variant. Time comparisons use integer microseconds
+(``unix_micros``) so the DuckDB oracles (``epoch_us``) reproduce them
+exactly.
 """
 
 from __future__ import annotations
@@ -160,3 +163,81 @@ def sessionize(df: DataFrame, key: str, ts: str, gap_seconds: int) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn("session_id", F.sum(new_session).over(running) - 1)
+
+
+def sessionize_split(
+    df: DataFrame, key: str, ts: str, gap_seconds: int, chunk_seconds: int
+) -> DataFrame:
+    """:func:`sessionize` with the documented hot-key mitigation (VERDICT r3
+    #6): identical ``session_id`` output, but a single key's timeline is
+    processed by MANY tasks instead of one.
+
+    Two passes:
+
+    1. **Per-chunk local sessions** — events shuffle once on
+       ``(key, floor(ts / chunk))``; within each chunk the usual lag +
+       running-sum assigns 0-based LOCAL session ids (a chunk's first event
+       is locally "new" — its true predecessor lives in an earlier chunk and
+       is reconciled in pass 2).
+    2. **Boundary stitch** — a per-(key, chunk) summary (first/last event
+       time, local session count; ONE row per non-empty chunk, thousands of
+       times smaller than the events) gets a per-key window ordered by
+       chunk: ``merge = (first - prev_chunk_last) <= gap`` (lag skips empty
+       chunks by construction — only non-empty chunks produce rows) and
+       ``offset = running sum of (local_count - merge)`` over prior chunks.
+       Global id = ``offset + local - merge``: when the chunk's first local
+       session merges backward, ALL its local ids shift down by one, which
+       chains correctly across consecutive merging chunks.
+
+    The stitch summary is broadcast back to the events, so the full-width
+    event rows move through exactly ONE exchange. The summary branch is a
+    separate narrow pass: Catalyst column-prunes it to just ``(key, ts)``
+    at the scan (plan-verified in EXPLAIN.md — both branches' ReadSchema),
+    so with realistic wide payload rows its scan+shuffle is a few percent
+    of the bytes; total cost ~ one full pass + one key/ts-only pass, traded
+    for per-chunk instead of per-key parallelism. Pick ``chunk_seconds``
+    well above ``gap_seconds`` (the summary stays tiny and most sessions
+    never straddle a boundary); correctness holds for any value.
+    """
+    micros = _micros(F.col(ts))
+    chunked = df.withColumn(
+        "__chunk", F.floor(micros / F.lit(chunk_seconds * 1_000_000))
+    )
+    order = Window.partitionBy(key, "__chunk").orderBy(ts)
+    prev = F.lag(micros).over(order)
+    new_session = F.when(
+        prev.isNull() | ((micros - prev) > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(key, "__chunk").orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = chunked.withColumn("__local", F.sum(new_session).over(running) - 1)
+
+    summary = local.groupBy(key, "__chunk").agg(
+        F.min(micros).alias("__first"),
+        F.max(micros).alias("__last"),
+        (F.max("__local") + 1).alias("__nloc"),
+    )
+    by_chunk = Window.partitionBy(key).orderBy("__chunk")
+    merge = F.when(
+        F.col("__first") - F.lag("__last").over(by_chunk)
+        <= gap_seconds * 1_000_000,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    prior = Window.partitionBy(key).orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    stitched = summary.withColumn("__merge", merge).withColumn(
+        "__off",
+        F.coalesce(F.sum(F.col("__nloc") - F.col("__merge")).over(prior), F.lit(0)),
+    )
+    return (
+        local.join(
+            F.broadcast(stitched.select(key, "__chunk", "__merge", "__off")),
+            [key, "__chunk"],
+        )
+        .withColumn(
+            "session_id", F.col("__off") + F.col("__local") - F.col("__merge")
+        )
+        .drop("__chunk", "__local", "__merge", "__off")
+    )

@@ -607,6 +607,32 @@ def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionized_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ``sessionized_events`` but through the hot-key-safe
+    ``sessionize_split`` path (per-(key, hour-chunk) local sessions + a
+    boundary stitch over the tiny per-chunk summary — operators/temporal.py).
+    Shares the unsplit entry's DuckDB oracle: the two paths are DEFINED to
+    be byte-identical, so the driver independently re-proves the stitch
+    math on real data every round."""
+    from mlops_drift_detection_spark.operators.temporal import sessionize_split
+
+    ev = sessionize_split(
+        _t(spark, sf_dir, "events"), "user_id", "ts",
+        gap_seconds=1800, chunk_seconds=3600,
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_session = ev.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        ((F.max(us) - F.min(us)) / F.lit(60e6)).alias("dur_min"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_session_events"),
+        F.round(F.avg("dur_min"), 4).alias("avg_session_min"),
+    )
+
+
 SQL_SESSIONIZED_EVENTS = """
 WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us,
                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
@@ -967,6 +993,60 @@ FROM documents GROUP BY lang
 """
 
 
+def q_compacted_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-governed compaction sink (sources.io.write_compacted, AQE
+    REBALANCE) surfaced as a catalog query (VERDICT r3 #7): write the
+    documents table through the compactor at a 1 MB target (the input is
+    deliberately pre-fragmented with repartition(64) to plant the
+    small-files problem the sink exists to fix), re-read it, and report
+    (a) per-lang data-fidelity aggregates the DuckDB oracle reproduces from
+    the original table and (b) file-layout bounds as boolean columns:
+    ``files_coalesced`` = the re-read produced FEWER files than the 64
+    planted fragments, ``sizes_bounded`` = every output file is under 4x the
+    advisory target (REBALANCE governs the pre-compression shuffle size, so
+    the on-disk bound is generous by construction). The oracle asserts both
+    booleans are literally TRUE — a layout regression flips the value hash.
+    The tempdir is removed in ``finally`` after the tiny aggregate is
+    materialized."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from mlops_drift_detection_spark.sources.io import write_compacted
+
+    docs = _t(spark, sf_dir, "documents").repartition(64)
+    tmp = tempfile.mkdtemp(prefix="compacted_")
+    try:
+        path = f"{tmp}/docs"
+        write_compacted(docs, path, target_mb=1)
+        files = _glob.glob(f"{path}/*.parquet")
+        coalesced = 0 < len(files) < 64
+        bounded = all(os.path.getsize(f) <= 4 * 1024 * 1024 for f in files)
+        back = spark.read.parquet(path)
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        ).select(
+            "lang", "n", "id_sum", "chars_sum",
+            F.lit(coalesced).alias("files_coalesced"),
+            F.lit(bounded).alias("sizes_bounded"),
+        )
+        rows, out_schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+SQL_COMPACTED_ROUNDTRIP_STATS = """
+SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       true AS files_coalesced, true AS sizes_bounded
+FROM documents GROUP BY lang
+"""
+
+
 def q_append_log_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: append-only log sink, date-partitioned (database.py:20-54 append +
     main.py:271-275 lookback): write events through append_log, read the log
@@ -1265,6 +1345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "winnow_fingerprint_pairs",
             "ngram_jaccard_join",
             "neardup_clusters",
+            "curated_neardup_corpus",
             "curated_corpus_stats",
             "weighted_sample_docs",
             "text_quality_profile",
@@ -1282,6 +1363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "winnow_fingerprint_pairs",
             "ngram_jaccard_join",
             "neardup_clusters",
+            "curated_neardup_corpus",
             "curated_corpus_stats",
             "weighted_sample_docs",
             "text_quality_profile",
@@ -1305,6 +1387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "interval_join_error_windows": q_interval_join_error_windows,
     "sessionized_events": q_sessionized_events,
+    "sessionized_events_split": q_sessionized_events_split,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1314,6 +1397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_rules": q_string_rules,
     "binary_dispatch_profile": q_binary_dispatch_profile,
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
+    "compacted_roundtrip_stats": q_compacted_roundtrip_stats,
     "append_log_window": q_append_log_window,
     "streaming_drift": q_streaming_drift,
     "schema_align_profile": q_schema_align_profile,
@@ -1357,6 +1441,7 @@ ORACLES: dict[str, str] = {
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "interval_join_error_windows": SQL_INTERVAL_JOIN_ERROR_WINDOWS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
+    "sessionized_events_split": SQL_SESSIONIZED_EVENTS,
     "topk_docs_per_lang": SQL_TOPK_DOCS_PER_LANG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
@@ -1369,6 +1454,7 @@ ORACLES: dict[str, str] = {
     "string_rules": SQL_STRING_RULES,
     "binary_dispatch_profile": SQL_BINARY_DISPATCH_PROFILE,
     "csv_roundtrip_stats": SQL_CSV_ROUNDTRIP_STATS,
+    "compacted_roundtrip_stats": SQL_COMPACTED_ROUNDTRIP_STATS,
     "append_log_window": SQL_APPEND_LOG_WINDOW,
     "streaming_drift": SQL_STREAMING_DRIFT,
     "schema_align_profile": SQL_SCHEMA_ALIGN_PROFILE,

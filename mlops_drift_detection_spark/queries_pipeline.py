@@ -701,6 +701,81 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def q_curated_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dup curation chain as one composable plan — the 100 TB
+    story this engine exists for: near-dup pair generation (minhash-LSH
+    candidates verified at word-set Jaccard >= 0.9, same spec and <4e-8 miss
+    bound as ``minhash_lsh_jaccard``) -> connected components (alternating
+    large-star/small-star, functions.cluster) -> ONE survivor per cluster
+    (the min-id member: ``component`` IS the cluster's min id by
+    construction, so the survivor test is ``doc_id == component`` — no extra
+    aggregation) -> quality gate (composite >= 0.5 AND >= 10 tokens) ->
+    per-lang curated-corpus stats.
+
+    Scale shape: the cluster map ``cc`` holds only nodes of the pair graph
+    (dupes are typically a few percent of a crawl corpus), so the
+    docs-to-cc join is a LEFT join on doc_id that AQE sizes at runtime —
+    docs not in any cluster survive by default (component null). Exact-dup
+    curation (``curated_corpus_stats``) gates on md5 identity; this entry
+    replaces that stage with transitive NEAR-dup identity. Oracle: an
+    independent recursive-CTE transitive closure + the same gate/agg in
+    DuckDB."""
+    from mlops_drift_detection_spark.functions.cluster import connected_components
+    from mlops_drift_detection_spark.functions.textstats import quality_score_raw
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    cands = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=64, bands=16, shingle_k=1
+    )
+    pairs = ngram_jaccard(docs, cands, "text", "doc_id", n=1).where(
+        F.col("jaccard") >= 0.9
+    )
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    kept = docs.join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).where(F.col("component").isNull() | (F.col("doc_id") == F.col("component")))
+    c = F.col("text")
+    q = quality_score_raw(c)  # gate on the unrounded composite — see
+    # q_curated_corpus_stats for why per-row rounding breaks cross-engine ties
+    curated = kept.where((q >= 0.5) & (token_count(c) >= 10))
+    return curated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_curated"),
+        F.sum(token_count(c)).alias("total_tokens"),
+        F.round(F.sum(q), 4).alias("total_quality"),
+    )
+
+
+SQL_CURATED_NEARDUP_CORPUS = rf"""
+WITH RECURSIVE
+w AS (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)),'\s+')) AS ws
+      FROM documents WHERE doc_id < 1000),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+              / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+kept AS (SELECT d.lang, d.text FROM documents d
+         WHERE d.doc_id < 1000 AND d.doc_id NOT IN
+           (SELECT doc_id FROM comp WHERE cluster_id <> doc_id)),
+cur AS (SELECT lang, text FROM kept
+        WHERE {_sql_quality_score_raw('text')} >= 0.5
+          AND {_sql_token_count('text')} >= 10)
+SELECT lang, count(*) AS n_curated,
+       CAST(sum({_sql_token_count('text')}) AS BIGINT) AS total_tokens,
+       round(sum({_sql_quality_score_raw('text')}), 4) AS total_quality
+FROM cur GROUP BY lang
+"""
+
+
 def q_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-gram Jaccard near-dup pairs (j >= 0.8) via prefix filtering —
     the deterministic dedup-family member (minhash/simhash are probabilistic;
@@ -887,6 +962,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
     "ngram_jaccard_join": q_ngram_jaccard_join,
     "neardup_clusters": q_neardup_clusters,
+    "curated_neardup_corpus": q_curated_neardup_corpus,
     "curated_corpus_stats": q_curated_corpus_stats,
     "weighted_sample_docs": q_weighted_sample_docs,
     "media_profile": q_media_profile,
@@ -909,6 +985,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "winnow_fingerprint_pairs": SQL_WINNOW_FINGERPRINT_PAIRS,
     "ngram_jaccard_join": SQL_NGRAM_JACCARD_JOIN,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "curated_neardup_corpus": SQL_CURATED_NEARDUP_CORPUS,
     "curated_corpus_stats": SQL_CURATED_CORPUS_STATS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE_DOCS,
     "media_profile": SQL_MEDIA_PROFILE,

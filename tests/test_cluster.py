@@ -80,3 +80,49 @@ def test_nonconvergence_guard(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(63)], "src long, dst long")
     with pytest.raises(RuntimeError):
         connected_components(edges, max_iterations=1)
+
+
+def test_curation_pipeline_one_survivor_per_cluster(spark):
+    """VERDICT r3 #4: in the near-dup curation chain, the pre-gate survivor
+    set must contain EXACTLY one doc per connected component plus every
+    singleton — i.e. survivor count == distinct cluster count + singletons,
+    and each surviving graph node is its cluster's min id."""
+    from pyspark.sql import functions as F
+
+    from mlops_drift_detection_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 1000)
+    )
+    cands = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=64, bands=16, shingle_k=1
+    )
+    pairs = ngram_jaccard(docs, cands, "text", "doc_id", n=1).where(
+        F.col("jaccard") >= 0.9
+    )
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    kept = docs.join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left").where(
+        F.col("component").isNull() | (F.col("doc_id") == F.col("component"))
+    )
+    n_docs = docs.count()
+    n_graph_nodes = cc.count()
+    n_clusters = cc.select("component").distinct().count()
+    n_singletons = n_docs - n_graph_nodes
+    assert n_graph_nodes > n_clusters > 0, "fixture must have real clusters"
+    assert kept.count() == n_clusters + n_singletons
+    # each surviving graph node IS its cluster's min id
+    survivors_in_graph = kept.where(F.col("component").isNotNull())
+    mins = cc.groupBy("component").agg(F.min("id").alias("min_id"))
+    bad = (
+        survivors_in_graph.join(mins, "component")
+        .where(F.col("doc_id") != F.col("min_id"))
+        .count()
+    )
+    assert bad == 0

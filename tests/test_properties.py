@@ -236,3 +236,74 @@ def test_prefix_filter_complete_on_arbitrary_docs(spark, docs, t):
     }
     want = _ngram_jaccard_py(docs, t)
     assert got == want, f"t={t}: spark={got} python={want}"
+
+
+short_doc_tokens = st.lists(vocab, min_size=1, max_size=5)  # 1-3 3-grams
+
+
+@pytest.mark.parametrize(
+    "t", [0.5, 0.6, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95], ids=lambda t: f"t{t}"
+)
+@SETTINGS
+@given(st.lists(short_doc_tokens, min_size=2, max_size=8))
+def test_prefix_filter_complete_at_adversarial_thresholds(spark, t, docs):
+    """VERDICT r3 #5: the completeness lemma's edge is the prefix length
+    ``|x| - ceil(t*|x|) + 1``. Sweep EVERY threshold deterministically
+    (pytest parametrize, not hypothesis sampling) against corpora of SHORT
+    docs (1-3 grams each, where ceil(t*|x|) hits every rounding boundary)
+    and require exact equality with the exhaustive pairwise oracle."""
+    from mlops_drift_detection_spark.functions.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_join(
+            df, "text", "id", threshold=t, n=3
+        ).collect()
+    }
+    want = _ngram_jaccard_py(docs, t)
+    assert got == want, f"t={t}: spark={got} python={want}"
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=2000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([7, 30, 115]),  # chunk_seconds, incl. < gap and >> gap
+)
+def test_sessionize_split_equals_plain(spark, events, chunk_s):
+    """sessionize_split is DEFINED as byte-identical to sessionize for every
+    input and every chunk size — hypothesis drives arbitrary (key, second)
+    timelines (duplicates and cross-chunk-boundary gaps included) at chunk
+    sizes below, near, and far above the 10 s gap threshold."""
+    from mlops_drift_detection_spark.operators.temporal import (
+        sessionize,
+        sessionize_split,
+    )
+
+    base = 1_700_000_000_000_000
+    df = spark.createDataFrame(
+        [(k, base + s * 1_000_000, i) for i, (k, s) in enumerate(events)],
+        "k string, us long, i long",
+    ).select("k", F.timestamp_micros(F.col("us")).alias("ts"), "i")
+    plain = {
+        r["i"]: r["session_id"]
+        for r in sessionize(df, "k", "ts", gap_seconds=10).collect()
+    }
+    got = {
+        r["i"]: r["session_id"]
+        for r in sessionize_split(
+            df, "k", "ts", gap_seconds=10, chunk_seconds=chunk_s
+        ).collect()
+    }
+    assert got == plain, f"chunk={chunk_s}"

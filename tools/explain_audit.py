@@ -48,6 +48,11 @@ AUDITED = [
     "curated_corpus_stats",
     "weighted_sample_docs",
     "topk_docs_per_lang",
+    # round-4: near-dup curation chain, hot-key-safe sessionize,
+    # single-scan keep-min dedup
+    "curated_neardup_corpus",
+    "sessionized_events_split",
+    "dedup_keep_min_by_lang",
 ]
 
 CHECKS = {

@@ -101,6 +101,94 @@ def asof_join(
     return out.drop("__ts", "__p", "__side", "__m")
 
 
+def asof_join_split(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    chunk_seconds: int,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """:func:`asof_join` with the hot-key mitigation (same design as
+    :func:`sessionize_split`): identical output, but a single key's history
+    is processed per (key, time-chunk) instead of per key, so a
+    pathological hot key fans out across tasks.
+
+    Pass 1 runs the union-trick carry-forward WITHIN each (key, chunk):
+    left rows whose nearest right row lives in the same chunk resolve
+    locally. Pass 2 resolves the rest: a per-(key, chunk) summary (the
+    max-timestamp right payload per chunk — struct max works because
+    ``__rts`` is the struct's first field; NULL for right-empty chunks,
+    which exist in the domain because the summary aggregates the UNION, so
+    left-only chunks still get a carry row) gets a per-key window ordered
+    by chunk taking the last non-null payload over PRIOR chunks. The
+    summary is broadcast back and a left row's match is
+    ``coalesce(in_chunk, prior_chunk_carry)`` — every right row in a prior
+    chunk precedes every left row of this chunk by construction, so this
+    is exactly the as-of semantics. Full-width rows cross ONE exchange;
+    the summary branch is a narrow recompute, as in sessionize_split.
+    """
+    payload = F.struct(
+        _micros(F.col(right_ts)).alias("__rts"),
+        *[F.col(c) for c in value_cols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        payload.alias("__p"),
+        F.lit(0).alias("__side"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        F.lit(1).alias("__side"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "__chunk",
+        F.floor(_micros(F.col("__ts")) / F.lit(chunk_seconds * 1_000_000)),
+    )
+    w = (
+        Window.partitionBy(on, "__chunk")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+
+    # chunk summary over the UNION (so left-only chunks are in the domain);
+    # max of the payload struct == payload of the max __rts right row,
+    # NULL when the chunk holds no right rows
+    summary = u.groupBy(on, "__chunk").agg(F.max("__p").alias("__chunk_last"))
+    prior = Window.partitionBy(on).orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = summary.withColumn(
+        "__carry", F.last("__chunk_last", ignorenulls=True).over(prior)
+    )
+    out = (
+        local.where(F.col("__side") == 1)
+        .join(
+            F.broadcast(carry.select(on, "__chunk", "__carry")),
+            [on, "__chunk"],
+        )
+        .withColumn("__m", F.coalesce(F.col("__m"), F.col("__carry")))
+    )
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                _micros(F.col("__ts")) - F.col("__m.__rts")
+                <= int(tolerance_seconds * 1_000_000),
+                F.col("__m"),
+            ),
+        )
+    for c in value_cols:
+        out = out.withColumn(f"{c}_asof", F.col("__m")[c])
+    return out.drop("__ts", "__p", "__side", "__chunk", "__m", "__carry")
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -513,6 +513,35 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ``asof_join_events`` through the hot-key-safe
+    ``asof_join_split`` path (per-(key, hour-chunk) union-trick carry + a
+    prior-chunk payload carry over the tiny per-chunk summary —
+    operators/temporal.py). Shares the unsplit entry's DuckDB native ASOF
+    oracle, so the driver independently re-proves the chunk-carry math on
+    real data every round."""
+    from mlops_drift_detection_spark.operators.temporal import asof_join_split
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("snap_value"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("snap_us"),
+    )
+    joined = asof_join_split(
+        ev, snaps, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["snap_value", "snap_us"], chunk_seconds=3600,
+    )
+    lag_sec = (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("snap_us_asof")) / F.lit(1e6)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("snap_us_asof").alias("n_matched"),
+        F.round(F.avg(lag_sec), 4).alias("avg_lag_sec"),
+        F.round(F.sum("snap_value_asof"), 2).alias("sum_snap_value"),
+    )
+
+
 SQL_ASOF_JOIN_EVENTS = """
 WITH r AS (SELECT user_id, ts, value AS snap_value FROM events
            WHERE event_type = 'error'),
@@ -1385,6 +1414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_window_counts": q_time_window_counts,
     "daily_event_windows": q_daily_event_windows,
     "asof_join_events": q_asof_join_events,
+    "asof_join_events_split": q_asof_join_events_split,
     "interval_join_error_windows": q_interval_join_error_windows,
     "sessionized_events": q_sessionized_events,
     "sessionized_events_split": q_sessionized_events_split,
@@ -1439,6 +1469,7 @@ ORACLES: dict[str, str] = {
     "set_except_langs": SQL_SET_EXCEPT_LANGS,
     "daily_event_windows": SQL_DAILY_EVENT_WINDOWS,
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+    "asof_join_events_split": SQL_ASOF_JOIN_EVENTS,
     "interval_join_error_windows": SQL_INTERVAL_JOIN_ERROR_WINDOWS,
     "sessionized_events": SQL_SESSIONIZED_EVENTS,
     "sessionized_events_split": SQL_SESSIONIZED_EVENTS,

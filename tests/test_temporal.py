@@ -267,3 +267,122 @@ def test_sessionize_split_boundary_cases(spark):
             ).collect()
         }
         assert got == plain, f"chunk={chunk}"
+
+
+def test_asof_join_split_identical_on_hot_key(spark):
+    """asof_join_split must spread a hot key across tasks AND reproduce
+    asof_join exactly — including left rows whose nearest right row lives
+    many empty chunks back, tolerance expiry, and never-matched heads."""
+    from mlops_drift_detection_spark.operators.temporal import asof_join_split
+
+    n = 200_000
+    left = spark.range(n).select(
+        F.lit("hot").alias("k"),
+        F.timestamp_micros(
+            F.col("id") * 7_000_000 + 1_600_000_000_000_000
+        ).alias("ts"),
+        F.col("id"),
+    )
+    # sparse right side: one snapshot every ~311 left events, plus a long
+    # initial right-free span (ids < 5000 have no preceding snapshot)
+    right = (
+        spark.range(n // 311)
+        .select(
+            F.lit("hot").alias("k"),
+            F.timestamp_micros(
+                (F.col("id") * 311 + 5000) * 7_000_000
+                + 3_000_000
+                + 1_600_000_000_000_000
+            ).alias("rts"),
+            (F.col("id") * 10).cast("double").alias("v"),
+        )
+    )
+    for tol in (None, 900.0):
+        plain = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            value_cols=["v"], tolerance_seconds=tol,
+        )
+        split = asof_join_split(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            value_cols=["v"], chunk_seconds=600, tolerance_seconds=tol,
+        )
+        mism = (
+            plain.select("id", F.col("v_asof").alias("a"))
+            .join(split.select("id", F.col("v_asof").alias("b")), "id")
+            .where(
+                ~(
+                    (F.col("a") == F.col("b"))
+                    | (F.col("a").isNull() & F.col("b").isNull())
+                )
+            )
+            .count()
+        )
+        assert mism == 0, f"tolerance={tol}"
+        assert split.count() == n
+    # parallelism invariant: the carry window's required distribution is
+    # (k, __chunk) — the hot key hashes across many chunks, not one task.
+    # (A row-level spark_partition_id probe is AQE-coalesced to 1 at this
+    # tiny byte size, so assert the partitioning expression itself; plain
+    # asof_join's exchange is hashpartitioning(k) only.)
+    probe = asof_join_split(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        value_cols=["v"], chunk_seconds=600,
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "hashpartitioning" in ln and "__chunk" in ln
+        for ln in plan.splitlines()
+    ), plan
+    n_chunks = (
+        left.select(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / (600 * 1_000_000)
+            ).alias("c")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_chunks > 1000  # the hot key really does fan out that wide
+
+
+def test_asof_join_split_equals_plain_random(spark):
+    """Randomized cross-check on multi-key data at several chunk sizes."""
+    import numpy as np
+
+    from mlops_drift_detection_spark.operators.temporal import asof_join_split
+
+    rng = np.random.default_rng(7)
+    base = 1_700_000_000_000_000
+    left = spark.createDataFrame(
+        [
+            (str(k), base + int(s) * 1_000_000, i)
+            for i, (k, s) in enumerate(
+                zip(rng.integers(0, 4, 120), rng.integers(0, 3000, 120))
+            )
+        ],
+        "k string, us long, i long",
+    ).select("k", F.timestamp_micros(F.col("us")).alias("ts"), "i")
+    right = spark.createDataFrame(
+        [
+            (str(k), base + int(s) * 1_000_000 + j, float(j))
+            for j, (k, s) in enumerate(
+                zip(rng.integers(0, 4, 40), rng.integers(0, 3000, 40))
+            )
+        ],
+        "k string, rus long, v double",
+    ).select("k", F.timestamp_micros(F.col("rus")).alias("rts"), "v")
+    want = {
+        r["i"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", value_cols=["v"]
+        ).collect()
+    }
+    for chunk in (13, 120, 10_000):
+        got = {
+            r["i"]: r["v_asof"]
+            for r in asof_join_split(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                value_cols=["v"], chunk_seconds=chunk,
+            ).collect()
+        }
+        assert got == want, f"chunk={chunk}"

@@ -52,6 +52,7 @@ AUDITED = [
     # single-scan keep-min dedup
     "curated_neardup_corpus",
     "sessionized_events_split",
+    "asof_join_events_split",
     "dedup_keep_min_by_lang",
 ]
 

@@ -2,10 +2,18 @@
 
 Treats media as opaque ``binary`` columns with a typed metadata struct. The
 Spark-side machinery — schema, partition sizing, Arrow batch shape,
-mapInPandas signatures — is real and tested; the codec work itself is STUBBED
-(this container has no image/audio libraries): ``decode_mode="fake"``
-produces deterministic synthetic features, ``decode_mode="real"`` raises
-``NotImplementedError`` at the point where PIL/librosa would be called.
+mapInPandas signatures — is real and tested. Codec coverage:
+
+* ``decode_mode="real"`` DECODES uncompressed containers in pure numpy —
+  RIFF/WAVE PCM-16 audio (:func:`decode_wav_pcm16`) and 24-bit uncompressed
+  BMP images (:func:`decode_bmp24`) — with matching pure-python encoders so
+  the round-trip is testable end to end. COMPRESSED codecs (png/jpeg/mp3/
+  mp4) remain the one declared stub: no PIL/librosa/ffmpeg in this
+  container, so an unrecognized magic raises ``NotImplementedError`` at the
+  exact point a codec library would plug in.
+* ``decode_mode="fake"`` produces deterministic synthetic features from the
+  raw bytes — exercises the full distributed path without any container
+  format (used by the oracle-checked catalog entry).
 
 Batch-shape rule for 100 TB media: keep ``spark.sql.execution.arrow.
 maxRecordsPerBatch`` small enough that batch_bytes = records x avg_blob_size
@@ -102,26 +110,158 @@ def media_from_documents(
     )
 
 
+# --------------------------------------------------------------------------
+# Pure-numpy codecs for UNCOMPRESSED containers (the "real" decode path).
+# Compressed formats stay behind the declared NotImplementedError stub.
+# --------------------------------------------------------------------------
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer: mono or (n, channels) int16 PCM."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    channels = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()
+    block_align = 2 * channels
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate,
+            sample_rate * block_align, block_align, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM-16 reader (chunk-walking, so extra chunks like LIST are
+    tolerated). Returns (samples int16 [n] or [n, channels], sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, channels, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM-16 supported (fmt={fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    s = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        s = s.reshape(-1, channels)
+    return s, int(rate)
+
+
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer: pixels is (h, w, 3) uint8 RGB
+    (stored bottom-up BGR with 4-byte row padding, per the format)."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rows.append(px[r, :, ::-1].tobytes() + b"\x00" * pad)  # RGB -> BGR
+    data = b"".join(rows)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def decode_bmp24(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP reader -> (h, w, 3) uint8 RGB. Handles the
+    bottom-up row order, BGR channel order, 4-byte row padding, and top-down
+    files (negative height)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        row = np.frombuffer(payload, np.uint8, row_bytes, offset + i * stride)
+        r = i if top_down else h - 1 - i
+        img[r] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return img
+
+
+def _real_features(payload: bytes, feature_dim: int) -> np.ndarray:
+    """Sniff + decode + featurize. WAV -> folded |rfft| band energies of the
+    mono mix; BMP -> folded luminance histogram. Both L2-normalized float32
+    of length feature_dim, deterministic. Unknown magic = compressed codec
+    territory -> the declared stub."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _rate = decode_wav_pcm16(payload)
+        mono = samples.astype(np.float64)
+        if mono.ndim == 2:
+            mono = mono.mean(axis=1)
+        spec = np.abs(np.fft.rfft(mono))
+        idx = np.arange(spec.size) % feature_dim
+        feat = np.bincount(idx, weights=spec, minlength=feature_dim)
+    elif payload[:2] == b"BM":
+        img = decode_bmp24(payload)
+        lum = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ).astype(np.int64)
+        feat = np.bincount(lum.ravel() % feature_dim, minlength=feature_dim)
+    else:
+        raise NotImplementedError(
+            "compressed codec decode (png/jpeg/mp3/mp4 via PIL/librosa/ffmpeg) "
+            "not available in this environment — plug the real decoder here"
+        )
+    norm = np.linalg.norm(feat) or 1.0
+    return (feat / norm).astype(np.float32)
+
+
 def extract_features(
     media: DataFrame, decode_mode: str = "fake", feature_dim: int = 16
 ) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches of whole blobs).
 
-    ``fake``: deterministic features from the payload bytes — exercises the
-    full distributed path (schema, batching, per-kind dispatch) without
-    codecs. ``real``: the marked stub — raises NotImplementedError where a
-    codec library would decode.
+    ``fake``: deterministic features from the raw payload bytes — exercises
+    the full distributed path (schema, batching, per-kind dispatch) with no
+    container format. ``real``: pure-numpy decode of RIFF/WAVE PCM-16 and
+    24-bit BMP payloads (see module docstring); compressed codecs raise the
+    declared NotImplementedError.
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decode_mode == "real":
-                raise NotImplementedError(
-                    "codec decode (PIL/librosa/ffmpeg) not available in this "
-                    "environment — plug the real decoder here"
-                )
             feats = []
             for payload in pdf["payload"]:
+                if decode_mode == "real":
+                    feats.append(_real_features(bytes(payload), feature_dim))
+                    continue
                 b = np.frombuffer(payload, dtype=np.uint8)
                 # deterministic fake embedding: byte-histogram folded to dim
                 hist = np.bincount(b % feature_dim, minlength=feature_dim)

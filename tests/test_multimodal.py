@@ -32,7 +32,9 @@ def test_extract_features_fake(media):
     assert again == first
 
 
-def test_extract_features_real_is_stubbed(media):
+def test_extract_features_compressed_is_stubbed(media):
+    """The fixture payloads carry no RIFF/BM magic, i.e. they stand in for
+    compressed codecs — the one remaining declared stub in real mode."""
     with pytest.raises(Exception) as ei:
         M.extract_features(media, decode_mode="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
@@ -60,3 +62,53 @@ def test_frame_sample_plan(media):
         .collect()
     )
     assert len(counts) > 0
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32767, 1000).astype("<i2")
+    got, rate = M.decode_wav_pcm16(M.encode_wav_pcm16(mono, 8000))
+    assert rate == 8000 and np.array_equal(got, mono)
+    stereo = rng.integers(-32768, 32767, (500, 2)).astype("<i2")
+    got2, rate2 = M.decode_wav_pcm16(M.encode_wav_pcm16(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(got2, stereo)
+
+
+def test_bmp_roundtrip_exact_odd_widths():
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    for h, w in [(7, 5), (3, 1), (8, 6), (2, 3)]:  # odd widths hit row padding
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(M.decode_bmp24(M.encode_bmp24(px)), px)
+
+
+def test_extract_features_real_decodes_wav_and_bmp(spark):
+    """real mode over a MIXED Arrow batch of actual WAV + BMP payloads:
+    features must equal the locally-computed reference (decode parity
+    between the mapInPandas executor path and the driver-side kernel)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows, want = [], {}
+    for i in range(6):
+        if i % 2 == 0:
+            pcm = rng.integers(-2000, 2000, 400 + 37 * i).astype("<i2")
+            payload = M.encode_wav_pcm16(pcm, 16000)
+            kind = "audio"
+        else:
+            px = rng.integers(0, 256, (5 + i, 7, 3)).astype(np.uint8)
+            payload = M.encode_bmp24(px)
+            kind = "image"
+        rows.append((i, kind, "x", -1, -1, -1, bytearray(payload)))
+        want[i] = M._real_features(payload, 16)
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: np.array(r["feature"], dtype=np.float32)
+        for r in M.extract_features(media, decode_mode="real").collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert np.array_equal(got[i], want[i]), i

@@ -124,7 +124,9 @@ def asof_join_split(
     which exist in the domain because the summary aggregates the UNION, so
     left-only chunks still get a carry row) gets a per-key window ordered
     by chunk taking the last non-null payload over PRIOR chunks. The
-    summary is broadcast back and a left row's match is
+    summary is joined back (AQE picks broadcast vs shuffle from its
+    runtime size — no forced hint, so high key cardinality cannot blow the
+    driver) and a left row's match is
     ``coalesce(in_chunk, prior_chunk_carry)`` — every right row in a prior
     chunk precedes every left row of this chunk by construction, so this
     is exactly the as-of semantics. Full-width rows cross ONE exchange;
@@ -169,8 +171,13 @@ def asof_join_split(
     )
     out = (
         local.where(F.col("__side") == 1)
+        # No broadcast hint (ADVICE r4): the summary's cardinality is
+        # |distinct keys| x |non-empty chunks| — tiny for a few hot keys,
+        # but unbounded at high key cardinality, where a forced broadcast
+        # would blow the driver. The join is keyed on (key, chunk), so AQE
+        # picks broadcast vs shuffle from the summary's runtime size.
         .join(
-            F.broadcast(carry.select(on, "__chunk", "__carry")),
+            carry.select(on, "__chunk", "__carry"),
             [on, "__chunk"],
         )
         .withColumn("__m", F.coalesce(F.col("__m"), F.col("__carry")))
@@ -277,8 +284,9 @@ def sessionize_split(
        session merges backward, ALL its local ids shift down by one, which
        chains correctly across consecutive merging chunks.
 
-    The stitch summary is broadcast back to the events, so the full-width
-    event rows move through exactly ONE exchange. The summary branch is a
+    The stitch summary is joined back to the events (no forced broadcast
+    hint — AQE sizes it at runtime, safe at high key cardinality), so the
+    full-width event rows move through exactly ONE exchange. The summary branch is a
     separate narrow pass: Catalyst column-prunes it to just ``(key, ts)``
     at the scan (plan-verified in EXPLAIN.md — both branches' ReadSchema),
     so with realistic wide payload rows its scan+shuffle is a few percent
@@ -320,8 +328,11 @@ def sessionize_split(
         F.coalesce(F.sum(F.col("__nloc") - F.col("__merge")).over(prior), F.lit(0)),
     )
     return (
+        # No broadcast hint (ADVICE r4) — same reasoning as asof_join_split:
+        # the stitch summary is small per hot key but grows with key
+        # cardinality; AQE sizes the (key, chunk) join at runtime.
         local.join(
-            F.broadcast(stitched.select(key, "__chunk", "__merge", "__off")),
+            stitched.select(key, "__chunk", "__merge", "__off"),
             [key, "__chunk"],
         )
         .withColumn(
@@ -329,3 +340,121 @@ def sessionize_split(
         )
         .drop("__chunk", "__local", "__merge", "__off")
     )
+
+
+# ---------------------------------------------------------------------------
+# Auto hot-key dispatch (VERDICT r4 #6): make the safe plan the default.
+# ---------------------------------------------------------------------------
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    hot_threshold: int,
+    sample_fraction: float | None = None,
+) -> list:
+    """Keys whose (estimated) row count meets ``hot_threshold``.
+
+    One cheap aggregation: the probe is column-pruned to just ``key`` at the
+    scan, optionally row-sampled (counts are scaled back by
+    ``1 / sample_fraction``, so the threshold stays in full-data units; the
+    sample seed is fixed for determinism). The result is collected to the
+    driver — safe by construction: at most ``total_rows / hot_threshold``
+    keys can exceed the threshold, so the list is small exactly when the
+    threshold is large enough to matter (1e12 rows / 1e7 threshold ->
+    <= 1e5 keys). NULL keys are never reported hot (a NULL key group is a
+    data-quality problem for the constraint suite, not a dispatch target).
+    """
+    probe = df.select(key).where(F.col(key).isNotNull())
+    scale = 1.0
+    if sample_fraction is not None and sample_fraction < 1.0:
+        probe = probe.sample(fraction=sample_fraction, seed=7)
+        scale = 1.0 / sample_fraction
+    hot = (
+        probe.groupBy(key)
+        .count()
+        .where(F.col("count") * F.lit(scale) >= F.lit(float(hot_threshold)))
+        .select(key)
+        .collect()
+    )
+    return [r[0] for r in hot]
+
+
+def sessionize_auto(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    chunk_seconds: int,
+    hot_threshold: int = 5_000_000,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """:func:`sessionize`, but keys above ``hot_threshold`` rows are routed
+    through :func:`sessionize_split` automatically — the caller no longer
+    needs to know the skew profile for the job to survive a hot key.
+
+    Cost: one key-pruned probe aggregation (sampled if ``sample_fraction``
+    is set), then the two branches filter the same scan (Catalyst pushes
+    the ``isin`` / negated-``isin`` down to parquet). Output is the union
+    of the branches; both produce identical ``session_id`` semantics
+    (property-tested byte-identical), so routing changes the plan, never
+    the answer. With no hot keys detected the plain single-window plan is
+    returned untouched.
+    """
+    hot = detect_hot_keys(df, key, hot_threshold, sample_fraction)
+    if not hot:
+        return sessionize(df, key, ts, gap_seconds)
+    k = F.col(key)
+    hot_part = sessionize_split(
+        df.where(k.isin(hot)), key, ts, gap_seconds, chunk_seconds
+    )
+    cold_part = sessionize(
+        df.where(k.isNull() | ~k.isin(hot)), key, ts, gap_seconds
+    )
+    return hot_part.unionByName(cold_part)
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    chunk_seconds: int,
+    tolerance_seconds: float | None = None,
+    hot_threshold: int = 5_000_000,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """:func:`asof_join` with automatic hot-key routing (same contract as
+    :func:`sessionize_auto`). A key is hot when its COMBINED left+right row
+    count meets ``hot_threshold`` — the per-key window in the union trick
+    sorts both sides together, so skew on either side matters.
+    """
+    probe = left.select(F.col(on)).unionAll(right.select(F.col(on)))
+    hot = detect_hot_keys(probe, on, hot_threshold, sample_fraction)
+    if not hot:
+        return asof_join(
+            left, right, on, left_ts, right_ts, value_cols, tolerance_seconds
+        )
+    k = F.col(on)
+    hot_part = asof_join_split(
+        left.where(k.isin(hot)),
+        right.where(k.isin(hot)),
+        on,
+        left_ts,
+        right_ts,
+        value_cols,
+        chunk_seconds,
+        tolerance_seconds,
+    )
+    cold_part = asof_join(
+        left.where(k.isNull() | ~k.isin(hot)),
+        right.where(k.isNull() | ~k.isin(hot)),
+        on,
+        left_ts,
+        right_ts,
+        value_cols,
+        tolerance_seconds,
+    )
+    return hot_part.unionByName(cold_part)

@@ -214,7 +214,9 @@ def test_stateful_cumulative_drift(spark, stream_dirs):
     b0.coalesce(1).write.parquet(f"{inp}/b0")
     b1.coalesce(1).write.parquet(f"{inp}/b1")
 
-    schema = SCHEMA.add("source", StringType())
+    # StructType.add MUTATES in place — copy so the module-global SCHEMA
+    # stays 4 fields for the tests that run after this one
+    schema = StructType(list(SCHEMA.fields) + [StructField("source", StringType())])
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(f"{inp}/*")
     )
@@ -298,3 +300,87 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
         (r["user_id"], r["n_ev"]) for r in spark.sql(f"SELECT * FROM {name}").collect()
     )
     assert stream_sessions == batch_sessions
+
+
+def test_accumulator_tag_split_across_batches(spark, stream_dirs):
+    """VERDICT r4 #2: a tag (source) split across >=2 micro-batches still
+    yields the STATIC per-tag PSI — per-batch counts are accumulated and
+    PSI computed once at stream end, with no layout precondition."""
+    from mlops_drift_detection_spark.streaming.drift_stream import (
+        finalize_accumulated_drift,
+        foreach_batch_count_accumulator,
+    )
+
+    inp, ckpt = stream_dirs
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("source", StringType()),
+        ]
+    )
+    # source "a": drifted mix split in HALF across two files (each half on
+    # its own is a different mix than the whole); source "b": normal, one file
+    a_langs = _drifted_langs(600)
+    for part, sl in (("p0", slice(0, 250)), ("p1", slice(250, 600))):
+        df = _mk_batch(spark, a_langs[sl], 0, hour=0).withColumn(
+            "source", F.lit("a")
+        )
+        df.coalesce(1).write.parquet(f"{inp}/a_{part}")
+    _mk_batch(spark, _normal_langs(400), 10_000, hour=1).withColumn(
+        "source", F.lit("b")
+    ).coalesce(1).write.parquet(f"{inp}/b_p0")
+
+    acc: dict = {}
+    q = run_file_stream_validation(
+        spark,
+        f"{inp}/*",
+        schema,
+        ckpt,
+        foreach_batch_count_accumulator(key_col="lang", tag_col="source", acc=acc),
+        max_files_per_trigger=1,
+    )
+    _await(q)
+
+    assert len(acc) >= 3, f"expected >=3 micro-batches, got {len(acc)}"
+    verdicts = {
+        v["tag"]: v for v in finalize_accumulated_drift(acc, BASELINE, CATS)
+    }
+    # source "a" must have emitted counts from >=2 different micro-batches
+    a_batches = [
+        b for b, rows in acc.items() if any(t == "a" for (t, _c, _n) in rows)
+    ]
+    assert len(a_batches) >= 2, "source 'a' was not split across micro-batches"
+    # static answer per tag, independent of batching
+    expected = [BASELINE[c] for c in CATS]
+    a_actual = [float(sum(1 for x in a_langs if x == c)) for c in CATS]
+    assert verdicts["a"]["psi"] == pytest.approx(
+        psi_from_counts(expected, a_actual), abs=0
+    )
+    assert verdicts["a"]["n_rows"] == 600
+    assert verdicts["a"]["drift_detected"] is True
+    assert verdicts["b"]["drift_detected"] is False
+    assert verdicts["b"]["n_rows"] == 400
+
+
+def test_accumulator_retry_idempotent(spark, stream_dirs):
+    """At-least-once semantics: re-running a batch_id overwrites its slot —
+    the merged counts (and PSI) are unchanged by the retry."""
+    from mlops_drift_detection_spark.streaming.drift_stream import (
+        finalize_accumulated_drift,
+        foreach_batch_count_accumulator,
+    )
+
+    batch = _mk_batch(spark, _drifted_langs(300), 0, hour=0).withColumn(
+        "source", F.lit("a")
+    )
+    acc: dict = {}
+    cb = foreach_batch_count_accumulator(key_col="lang", tag_col="source", acc=acc)
+    cb(batch, 0)
+    once = finalize_accumulated_drift(acc, BASELINE, CATS)
+    cb(batch, 0)  # simulated retry of the same micro-batch
+    twice = finalize_accumulated_drift(acc, BASELINE, CATS)
+    assert once == twice
+    assert twice[0]["n_rows"] == 300

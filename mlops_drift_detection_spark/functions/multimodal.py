@@ -215,12 +215,41 @@ def decode_bmp24(payload: bytes) -> np.ndarray:
     return img
 
 
-def _real_features(payload: bytes, feature_dim: int) -> np.ndarray:
+def sniff_media_kind(payload: bytes) -> str | None:
+    """Container magic -> media kind ('audio' for RIFF/WAVE, 'image' for BMP),
+    None for unknown magic (compressed codec territory or corruption)."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio"
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        return "image"
+    return None
+
+
+def _real_features(
+    payload: bytes, feature_dim: int, kind: str | None = None
+) -> np.ndarray:
     """Sniff + decode + featurize. WAV -> folded |rfft| band energies of the
     mono mix; BMP -> folded luminance histogram. Both L2-normalized float32
-    of length feature_dim, deterministic. Unknown magic = compressed codec
-    territory -> the declared stub."""
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    of length feature_dim, deterministic.
+
+    ``kind`` (ADVICE r4): the row's declared media kind. A payload whose
+    sniffed magic CONTRADICTS the declared kind raises a distinct
+    ValueError (mislabeled row — a data-quality problem, not a codec gap),
+    and a payload too short to even hold a container header raises a
+    distinct truncation ValueError; only a genuinely unknown magic falls
+    through to the declared compressed-codec stub."""
+    sniffed = sniff_media_kind(payload)
+    if kind is not None and sniffed is not None and sniffed != kind:
+        raise ValueError(
+            f"media kind mismatch: row metadata declares {kind!r} but the "
+            f"payload magic is a {sniffed!r} container — mislabeled row"
+        )
+    if sniffed is None and len(payload) < 12:
+        raise ValueError(
+            f"truncated media payload ({len(payload)} bytes): too short for "
+            "any container header — corrupt row, not a codec gap"
+        )
+    if sniffed == "audio":
         samples, _rate = decode_wav_pcm16(payload)
         mono = samples.astype(np.float64)
         if mono.ndim == 2:
@@ -228,7 +257,7 @@ def _real_features(payload: bytes, feature_dim: int) -> np.ndarray:
         spec = np.abs(np.fft.rfft(mono))
         idx = np.arange(spec.size) % feature_dim
         feat = np.bincount(idx, weights=spec, minlength=feature_dim)
-    elif payload[:2] == b"BM":
+    elif sniffed == "image":
         img = decode_bmp24(payload)
         lum = (
             0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
@@ -258,9 +287,11 @@ def extract_features(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
-            for payload in pdf["payload"]:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 if decode_mode == "real":
-                    feats.append(_real_features(bytes(payload), feature_dim))
+                    feats.append(
+                        _real_features(bytes(payload), feature_dim, kind=kind)
+                    )
                     continue
                 b = np.frombuffer(payload, dtype=np.uint8)
                 # deterministic fake embedding: byte-histogram folded to dim
@@ -277,6 +308,107 @@ def extract_features(
             )
 
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_units", LongType()),     # audio: samples; image: pixels
+        StructField("decoded_val", LongType()),  # exact mean of decoded content
+        StructField("norm_ok", StringType()),    # 'true'/'false'
+    ]
+)
+
+
+def plant_real_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MEDIA_SCHEMA rows with REAL planted containers, parametric in the id
+    so an SQL oracle can reproduce every decoded statistic in closed form
+    (VERDICT r4 #5):
+
+    * even id -> 24-bit BMP, w = 7 + (id%5)*3 (deliberately including
+      non-multiple-of-4 row bytes, so the 4-byte row padding is exercised
+      on executors), h = 6 + (id%3)*2, all pixels = (id*37) % 256;
+      n_bytes = 54 + (3w + pad(3w)) * h.
+    * odd id -> RIFF/WAVE PCM-16 mono, L = 160 + (id%40)*16 samples at
+      16 kHz, every sample = (id%200) - 100; n_bytes = 44 + 2L.
+
+    Encoding runs distributed in mapInPandas (Arrow batches), one container
+    per row — the same plumbing real media ingestion would use.
+    """
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "kind", "mime", "width", "height",
+                "duration_ms", "payload",
+            )}
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                if i % 2 == 0:
+                    w, h = 7 + (i % 5) * 3, 6 + (i % 3) * 2
+                    px = np.full((h, w, 3), (i * 37) % 256, dtype=np.uint8)
+                    out["media_id"].append(i)
+                    out["kind"].append("image")
+                    out["mime"].append("image/bmp")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["duration_ms"].append(-1)
+                    out["payload"].append(encode_bmp24(px))
+                else:
+                    n = 160 + (i % 40) * 16
+                    v = (i % 200) - 100
+                    s = np.full(n, v, dtype=np.int16)
+                    out["media_id"].append(i)
+                    out["kind"].append("audio")
+                    out["mime"].append("audio/wav")
+                    out["width"].append(-1)
+                    out["height"].append(-1)
+                    out["duration_ms"].append(n * 1000 // 16000)
+                    out["payload"].append(encode_wav_pcm16(s, 16000))
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col)).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def media_decode_stats(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """REAL decode on executors -> per-row content statistics an oracle can
+    verify: decoded unit count (samples/pixels), the exact integer mean of
+    the decoded content, and whether the extracted feature is unit-norm.
+    Runs :func:`_real_features` (with the kind cross-check) AND the raw
+    decoders over every payload in mapInPandas Arrow batches."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "kind", "n_bytes", "n_units", "decoded_val",
+                "norm_ok",
+            )}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                feat = _real_features(b, feature_dim, kind=str(kind))
+                norm_ok = bool(abs(float(np.linalg.norm(feat)) - 1.0) < 1e-3)
+                if sniff_media_kind(b) == "audio":
+                    samples, _rate = decode_wav_pcm16(b)
+                    mono = samples if samples.ndim == 1 else samples[:, 0]
+                    n_units = int(mono.size)
+                    decoded_val = int(round(float(mono.mean())))
+                else:
+                    img = decode_bmp24(b)
+                    n_units = int(img.shape[0] * img.shape[1])
+                    decoded_val = int(round(float(img.mean())))
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(str(kind))
+                rows["n_bytes"].append(len(b))
+                rows["n_units"].append(n_units)
+                rows["decoded_val"].append(decoded_val)
+                rows["norm_ok"].append(str(norm_ok).lower())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, schema=DECODE_STATS_SCHEMA)
 
 
 def resize_spec(media: DataFrame, max_side: int = 256) -> DataFrame:

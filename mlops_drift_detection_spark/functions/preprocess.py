@@ -195,9 +195,22 @@ def weighted_sample(
     .Math.pow vs libm std::pow), so a 1-ulp divergence at the rank-n
     boundary could flip the selected row; ln(u)/w is ONE transcendental of
     an exactly-reproduced operand followed by a correctly-rounded IEEE
-    division, and the result is then rounded to 1e-9 so a sub-ulp
-    cross-engine wobble cannot straddle the ordering grid (ties on the
-    grid break by id in both engines) — ADVICE r3."""
+    division (ADVICE r3).
+
+    The result is then rounded to 9 SIGNIFICANT digits — RELATIVE
+    precision, not the previous fixed 1e-9 absolute grid (ADVICE r4): the
+    priority scales as |ln u|/w, so with production-sized weights it lives
+    arbitrarily close to 0 and an absolute grid collapsed every
+    |priority| < 5e-10 row into one tie class broken by ascending id —
+    deterministic, but no longer weight-distributed. Relative rounding
+    (p scaled into [-1,-0.1) by its own decade, rounded, scaled back)
+    keeps the grid ~1e-9 of each value at every weight scale: wide enough
+    to absorb sub-ulp cross-engine ln() wobble, narrow enough that the
+    tie-class measure stays ~1e-9 regardless of weights. Residual caveat
+    (documented, not fixable without exact arithmetic): a priority within
+    ~1 ulp of an exact power of ten can land in adjacent decades across
+    engines — probability ~1e-15 per row, absorbed by the id tiebreak in
+    all but adversarial inputs."""
     u = (
         F.conv(
             F.substring(
@@ -210,7 +223,9 @@ def weighted_sample(
         ).cast("double")
         + 1.0
     ) / F.lit(4294967297.0)  # (k+1) / (2^32 + 1) in (0, 1]
-    priority = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    p = F.log(u) / F.col(weight_col).cast("double")
+    decade = F.pow(F.lit(10.0), F.ceil(F.log10(F.abs(p))))
+    priority = F.round(p / decade, 9) * decade
     return (
         df.withColumn("__priority", priority)
         .orderBy(F.desc("__priority"), F.col(id_col))

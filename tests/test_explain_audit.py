@@ -1,0 +1,112 @@
+"""The plan audit must be FALSIFIABLE (VERDICT r4 #4): per-query hard
+invariants (exact scan/exchange counts, WindowGroupLimit presence, no
+cartesian products) that actually fail when a regressed plan shape is
+reintroduced — demonstrated here by rebuilding the r3 double-scan keep-min
+formulation and asserting the audit rejects it."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tools.explain_audit import EXPECTED, check_invariants, plan_metrics
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_current_keep_min_plan_passes(spark):
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_dedup_keep_min_by_lang,
+    )
+
+    m = plan_metrics(_formatted(q_dedup_keep_min_by_lang(spark, SF_DIR)))
+    assert check_invariants("dedup_keep_min_by_lang", m) == []
+    assert m["scans"] == 1 and m["wgl"]
+
+
+def test_r3_double_scan_shape_fails_audit(spark):
+    """Revert to the r3 groupBy-min + semi-join formulation: semantically
+    identical, but it scans documents twice and loses WindowGroupLimit.
+    The audit invariants for dedup_keep_min_by_lang MUST reject it."""
+    from mlops_drift_detection_spark.functions.textstats import (
+        wordset_fingerprint,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "fp", wordset_fingerprint(F.col("text"))
+    )
+    winners = docs.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    regressed = (
+        docs.join(winners, ["fp", "doc_id"], "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    m = plan_metrics(_formatted(regressed))
+    violations = check_invariants("dedup_keep_min_by_lang", m)
+    assert any("Scan parquet count" in v for v in violations), violations
+    assert any("WindowGroupLimit missing" in v for v in violations), violations
+
+
+def test_window_without_limit_pushdown_fails_audit(spark):
+    """A keep-min written so Spark CANNOT rewrite it to WindowGroupLimit
+    (filter not on rank-1) keeps the single scan but loses the pushdown —
+    the wgl invariant alone must catch it."""
+    from mlops_drift_detection_spark.functions.textstats import (
+        wordset_fingerprint,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "fp", wordset_fingerprint(F.col("text"))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    # a predicate that is NOT a top-k bound (__rn != 2): the optimizer has
+    # no group-limit rewrite for it, so the full window computes per key
+    no_pushdown = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") != 2)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    m = plan_metrics(_formatted(no_pushdown))
+    if m["wgl"]:  # if a future Spark optimizes this too, the test is vacuous
+        import pytest
+
+        pytest.skip("optimizer rewrote the shape; invariant untestable here")
+    violations = check_invariants("dedup_keep_min_by_lang", m)
+    assert any("WindowGroupLimit missing" in v for v in violations), violations
+
+
+def test_cartesian_product_always_fails(spark):
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+    # small sides would plan BroadcastNestedLoopJoin; disable static
+    # broadcast so the planner emits a genuine CartesianProduct node
+    confs = {
+        "spark.sql.crossJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, "true") for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        cart = a.crossJoin(b)
+        m = plan_metrics(_formatted(cart))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert m["cart"]
+    # global rule: cartesian product fails EVERY audited query's invariants
+    assert any(
+        "CartesianProduct" in v
+        for v in check_invariants("stats_moments", {**m, "scans": 1, "exch": 1})
+    )
+
+
+def test_all_audited_queries_have_expectations():
+    """Every audited query carries hard invariants (scans + exchanges at
+    minimum) — the audit cannot silently regress to presence-only checks."""
+    for name, exp in EXPECTED.items():
+        assert "scans" in exp and "exch" in exp, name

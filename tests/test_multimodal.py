@@ -112,3 +112,60 @@ def test_extract_features_real_decodes_wav_and_bmp(spark):
     assert set(got) == set(want)
     for i in want:
         assert np.array_equal(got[i], want[i]), i
+
+
+def test_kind_magic_mismatch_raises_distinct_error():
+    """ADVICE r4: a WAV payload labeled 'image' (or BMP labeled 'audio')
+    must raise the mislabeled-row ValueError, not decode as the wrong
+    modality or fall into the compressed-codec stub."""
+    import numpy as np
+
+    wav = M.encode_wav_pcm16(np.full(64, 5, dtype=np.int16))
+    bmp = M.encode_bmp24(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="kind mismatch"):
+        M._real_features(wav, 16, kind="image")
+    with pytest.raises(ValueError, match="kind mismatch"):
+        M._real_features(bmp, 16, kind="audio")
+    # matching kind (or no kind) still decodes fine
+    assert M._real_features(wav, 16, kind="audio").shape == (16,)
+    assert M._real_features(bmp, 16, kind="image").shape == (16,)
+
+
+def test_truncated_payload_raises_distinct_error():
+    """A payload too short for any container header is a corrupt row, not
+    compressed-codec territory — distinct truncation error (ADVICE r4)."""
+    with pytest.raises(ValueError, match="truncated"):
+        M._real_features(b"RIF", 16, kind="audio")
+    with pytest.raises(ValueError, match="truncated"):
+        M._real_features(b"", 16)
+    # unknown magic at plausible container length -> still the declared stub
+    with pytest.raises(NotImplementedError):
+        M._real_features(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64, 16, kind="image")
+
+
+def test_plant_real_media_decode_stats_roundtrip(spark):
+    """plant_real_media -> media_decode_stats reproduces the closed-form
+    planted parameters row by row (the distributed twin of the encoder/
+    decoder round-trip tests)."""
+    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    stats = {
+        r["media_id"]: r
+        for r in M.media_decode_stats(M.plant_real_media(ids)).collect()
+    }
+    assert len(stats) == 40
+    for i in range(40):
+        r = stats[i]
+        if i % 2 == 0:
+            w, h = 7 + (i % 5) * 3, 6 + (i % 3) * 2
+            pad = (4 - (w * 3) % 4) % 4
+            assert r["kind"] == "image"
+            assert r["n_bytes"] == 54 + (w * 3 + pad) * h
+            assert r["n_units"] == w * h
+            assert r["decoded_val"] == (i * 37) % 256
+        else:
+            L = 160 + (i % 40) * 16
+            assert r["kind"] == "audio"
+            assert r["n_bytes"] == 44 + 2 * L
+            assert r["n_units"] == L
+            assert r["decoded_val"] == (i % 200) - 100
+        assert r["norm_ok"] == "true"

@@ -155,3 +155,33 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
     heavy = sum(hits[i] for i in range(10)) / 10        # avg hits, weight 10
     light = sum(hits[i] for i in range(10, 100)) / 90   # avg hits, weight 1
     assert heavy > 3 * light, f"heavy {heavy} vs light {light}"
+
+
+def test_weighted_sample_no_tie_collapse_at_large_weights(spark):
+    """ADVICE r4: with production-sized weights (1e9) every |ln(u)/w| is
+    < 5e-10, so the old FIXED 1e-9 grid collapsed all priorities to one
+    tie class and the 'weighted' sample degenerated to lowest-id-first.
+    Relative (significant-digit) rounding must instead reproduce the exact
+    un-rounded A-ES selection."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mlops_drift_detection_spark.functions.preprocess import weighted_sample
+
+    n_rows, k = 2_000, 25
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 17 + 1).cast("double") * 1e9
+    ).toDF("id", "w")
+    got = sorted(r["id"] for r in weighted_sample(df, "w", k, "id").collect())
+    # exact A-ES mirror (no grid at all): same md5-derived uniforms
+    pri = {}
+    for i in range(n_rows):
+        h = hashlib.md5(f"{i}#42".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1.0) / 4294967297.0
+        pri[i] = math.log(u) / (((i % 17) + 1) * 1e9)
+    want = sorted(sorted(range(n_rows), key=lambda i: (-pri[i], i))[:k])
+    assert got == want
+    # and explicitly NOT the degenerate lowest-id-first answer
+    assert got != list(range(k))

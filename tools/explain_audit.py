@@ -1,13 +1,26 @@
 #!/usr/bin/env python3
 """Physical-plan audit: dump `.explain("formatted")` for the headline
-queries and grade each plan against the scale checklist —
+queries, grade each plan against the scale checklist, and ENFORCE per-query
+plan invariants (VERDICT r4 #4 — the audit must be falsifiable).
 
-  * filters/projections pushed into the parquet scan (PushedFilters/ReadSchema)
-  * whole-stage codegen covering the hot expressions
-  * broadcast joins where a side is known-small
-  * partial (map-side) aggregation before every shuffle
+Two layers:
+
+* soft checklist (informational, printed per plan): pruned scan schema,
+  whole-stage codegen, partial aggregation, AQE wrapper, broadcast joins.
+* hard EXPECTED invariants (the audit FAILS — nonzero exit — on mismatch):
+  exact `Scan parquet` count in the plan tree (locks the single-scan
+  rewrites of curated_corpus_stats / dedup_keep_min_by_lang: a regression
+  to the r3 double-scan shape fails the audit), exact Exchange count (a
+  new shuffle cannot sneak in silently), WindowGroupLimit presence for
+  keep-min/top-k plans (the per-partition limit pushdown is the thing that
+  makes them scale), required plan substrings (e.g. the split operators'
+  `__chunk` hash partitioning), and a global no-CartesianProduct rule.
+  `BroadcastNestedLoopJoin` is tolerated ONLY where recorded in EXPECTED
+  (`bnlj=True`) — those are scalar 1-row broadcast crossJoins, audited by
+  hand; an unexpected BNLJ anywhere else fails.
 
 Writes EXPLAIN.md. Run: python tools/explain_audit.py [sf_dir]
+Exit status: 0 iff every expected invariant holds.
 """
 
 from __future__ import annotations
@@ -17,44 +30,48 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-AUDITED = [
-    "stats_moments",
-    "histogram_nchars",
-    "drift_verdicts",
-    "uniqueness_events",
-    "referential_orders",
-    "segment_revenue",
-    "pricing_summary",
-    "time_window_counts",
-    "dedup_fingerprint_groups",
-    "cosine_topk",
-    # round-2 scale-path additions
-    "simhash_neardup",
-    "ann_lsh_topk",
-    "salted_source_stats",
-    "embedding_neardup_lsh",
-    "ann_ivf_topk",
-    "column_profile",
-    # round-3 additions: single-scan N-feature drift, trained-codebook IVF,
-    # winnowing fingerprint near-dup
-    "multi_feature_drift",
-    "ann_ivf_trained_topk",
-    "winnow_fingerprint_pairs",
-    "ngram_jaccard_join",
-    # round-3: temporal operators (as-of join via union trick, sessionize)
-    "asof_join_events",
-    "sessionized_events",
-    "interval_join_error_windows",
-    "curated_corpus_stats",
-    "weighted_sample_docs",
-    "topk_docs_per_lang",
-    # round-4: near-dup curation chain, hot-key-safe sessionize,
-    # single-scan keep-min dedup
-    "curated_neardup_corpus",
-    "sessionized_events_split",
-    "asof_join_events_split",
-    "dedup_keep_min_by_lang",
-]
+# name -> dict of hard invariants, derived from the audited-good plans at
+# sf0.01 (round 5). scans/exch are EXACT counts over the plan-tree section;
+# wgl is WindowGroupLimit presence; bnlj=True whitelists the scalar 1-row
+# broadcast crossJoin that query is known to carry; "contains" are
+# substrings that must appear in the FULL formatted plan.
+EXPECTED: dict[str, dict] = {
+    "stats_moments": {"scans": 1, "exch": 1},
+    "histogram_nchars": {"scans": 1, "exch": 1},
+    "drift_verdicts": {"scans": 2, "exch": 5, "bnlj": True},
+    "uniqueness_events": {"scans": 1, "exch": 1},
+    "referential_orders": {"scans": 2, "exch": 2},
+    "segment_revenue": {"scans": 3, "exch": 4},
+    "pricing_summary": {"scans": 1, "exch": 1},
+    "time_window_counts": {"scans": 2, "exch": 3, "bnlj": True},
+    "dedup_fingerprint_groups": {"scans": 1, "exch": 1},
+    "cosine_topk": {"scans": 2, "exch": 3, "wgl": True, "bnlj": True},
+    "simhash_neardup": {"scans": 1, "exch": 2},
+    "ann_lsh_topk": {"scans": 2, "exch": 6, "wgl": True, "bnlj": True},
+    "salted_source_stats": {"scans": 1, "exch": 2},
+    "embedding_neardup_lsh": {"scans": 4, "exch": 9, "bnlj": True},
+    "ann_ivf_topk": {"scans": 4, "exch": 7, "wgl": True, "bnlj": True},
+    "column_profile": {"scans": 1, "exch": 1},
+    "multi_feature_drift": {"scans": 1, "exch": 3},
+    "ann_ivf_trained_topk": {"scans": 8, "exch": 23, "wgl": True, "bnlj": True},
+    "winnow_fingerprint_pairs": {"scans": 1, "exch": 2},
+    "ngram_jaccard_join": {"scans": 4, "exch": 7},
+    "asof_join_events": {"scans": 2, "exch": 2},
+    "sessionized_events": {"scans": 1, "exch": 1},
+    "interval_join_error_windows": {"scans": 2, "exch": 3},
+    # the r4 single-scan rewrites — THE invariants this audit exists to lock
+    "curated_corpus_stats": {"scans": 1, "exch": 2, "wgl": True},
+    "dedup_keep_min_by_lang": {"scans": 1, "exch": 2, "wgl": True},
+    "weighted_sample_docs": {"scans": 1, "exch": 0},
+    "topk_docs_per_lang": {"scans": 1, "exch": 1, "wgl": True},
+    "curated_neardup_corpus": {"scans": 1, "exch": 5},
+    # split operators: 2nd (column-pruned) scan is the documented summary
+    # branch; the (key, __chunk) hash partitioning is the hot-key fanout
+    "sessionized_events_split": {"scans": 2, "exch": 6, "contains": ["__chunk"]},
+    "asof_join_events_split": {"scans": 4, "exch": 5, "contains": ["__chunk"]},
+}
+
+AUDITED = list(EXPECTED)
 
 CHECKS = {
     # (formatted-plan text, simple-plan text) -> bool
@@ -73,6 +90,41 @@ CHECKS = {
 }
 
 
+def plan_metrics(formatted_plan: str) -> dict:
+    """Counts/flags over the plan-tree section (node list) of a formatted
+    explain, plus full-plan text for substring invariants."""
+    tree = formatted_plan.split("\n\n")[0]
+    return {
+        "scans": tree.count("Scan parquet"),
+        "exch": tree.count("Exchange"),
+        "wgl": "WindowGroupLimit" in tree,
+        "cart": "CartesianProduct" in tree,
+        "bnlj": "BroadcastNestedLoopJoin" in tree,
+        "full": formatted_plan,
+    }
+
+
+def check_invariants(name: str, metrics: dict) -> list[str]:
+    """Violations of the EXPECTED invariants for `name` (empty == pass).
+    Global rules: never a CartesianProduct; BNLJ only when whitelisted."""
+    exp = EXPECTED[name]
+    bad: list[str] = []
+    if metrics["cart"]:
+        bad.append("CartesianProduct present")
+    if metrics["bnlj"] and not exp.get("bnlj", False):
+        bad.append("unexpected BroadcastNestedLoopJoin")
+    if metrics["scans"] != exp["scans"]:
+        bad.append(f"Scan parquet count {metrics['scans']} != expected {exp['scans']}")
+    if metrics["exch"] != exp["exch"]:
+        bad.append(f"Exchange count {metrics['exch']} != expected {exp['exch']}")
+    if exp.get("wgl", False) and not metrics["wgl"]:
+        bad.append("WindowGroupLimit missing (per-partition limit pushdown lost)")
+    for sub in exp.get("contains", []):
+        if sub not in metrics["full"]:
+            bad.append(f"required plan fragment {sub!r} missing")
+    return bad
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from mlops_drift_detection_spark.queries import QUERIES
@@ -88,9 +140,12 @@ def main() -> None:
         "any operator change. Checklist per plan: column pruning reached the",
         "scan, whole-stage codegen spans the hot expressions, aggregation is",
         "partial before its shuffle, AQE wraps the plan, and joins broadcast",
-        "when a side is small.",
+        "when a side is small. HARD invariants (exact scan/exchange counts,",
+        "WindowGroupLimit presence, no cartesian products) are enforced —",
+        "a regression (e.g. the r3 double-scan keep-min) FAILS this audit.",
         "",
     ]
+    failures: dict[str, list[str]] = {}
     for name in AUDITED:
         df = QUERIES[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
@@ -98,9 +153,20 @@ def main() -> None:
         )
         df.collect()  # run THIS plan: AQE finalizes it, codegen spans appear
         simple = df._jdf.queryExecution().executedPlan().toString()
+        metrics = plan_metrics(plan)
+        bad = check_invariants(name, metrics)
+        if bad:
+            failures[name] = bad
         verdicts = []
         for label, fn in CHECKS.items():
             verdicts.append(f"{'✓' if fn(plan, simple) else '✗'} {label}")
+        exp = EXPECTED[name]
+        verdicts.append(
+            ("✓" if not bad else "✗")
+            + f" invariants (scans={exp['scans']}, exch={exp['exch']}"
+            + (", WindowGroupLimit" if exp.get("wgl") else "")
+            + ")"
+        )
         has_join = "Join" in plan
         if has_join:
             verdicts.append(
@@ -109,6 +175,9 @@ def main() -> None:
         out.append(f"## {name}")
         out.append("")
         out.append("; ".join(verdicts))
+        if bad:
+            out.append("")
+            out.append("**INVARIANT FAILURES**: " + "; ".join(bad))
         out.append("")
         out.append("```")
         # keep the summary section of the formatted plan (node list), trim details
@@ -120,6 +189,11 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote EXPLAIN.md")
+    if failures:
+        for name, bad in failures.items():
+            print(f"FAIL {name}: {'; '.join(bad)}", file=sys.stderr)
+        raise SystemExit(1)
+    print(f"all {len(AUDITED)} plan-invariant sets hold")
 
 
 if __name__ == "__main__":

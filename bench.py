@@ -46,6 +46,27 @@ HEADLINE = [
     # measures pair-list materialization, not the LSH pipeline.
 ]
 
+# Second pinned group (VERDICT r4 #1), NEW BASELINE AT ROUND 5 — the
+# LLM-data-pipeline operators this engine exists for: dedup, clustering,
+# curation, temporal, sampling. Same warmup discipline as HEADLINE (the
+# warmup job runs before whichever group executes first); timed at the same
+# $SPARK_GRAFT_SF_DIR. Pinned — do not append; like HEADLINE, deltas must be
+# like-for-like round over round. minhash_lsh_jaccard is included per the
+# judge's list with the caveat above: at sf0.1 its wall time is dominated by
+# the (quadratic-by-construction) output pair list, so read its trend, not
+# its absolute.
+PIPELINE_GROUP = [
+    "minhash_lsh_jaccard",
+    "simhash_neardup",
+    "neardup_clusters",
+    "curated_corpus_stats",
+    "curated_neardup_corpus",
+    "sessionized_events_split",
+    "asof_join_events",
+    "weighted_sample_docs",
+    "winnow_fingerprint_pairs",
+]
+
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
 
 
@@ -140,6 +161,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-fullpass", action="store_true")
     ap.add_argument("--skip-headline", action="store_true")
+    ap.add_argument("--skip-pipeline", action="store_true")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -171,11 +193,32 @@ def main() -> None:
             per_query[name] = round(time.time() - t0, 3)
             _ = n
 
+    pipeline_q: dict[str, float] = {}
+    if not args.skip_pipeline:
+        if args.skip_headline:
+            # the warmup normally runs with the headline group; keep the
+            # discipline identical when only this group is timed
+            from pyspark.sql import functions as F
+
+            spark.range(2_000_000).groupBy((F.col("id") % 16).alias("k")).agg(
+                F.sum("id"), F.avg("id")
+            ).collect()
+            spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        for name in PIPELINE_GROUP:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            pipeline_q[name] = round(time.time() - t0, 3)
+            _ = n
+
     out = {
         "metric": "headline_total",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
+        "pipeline_total": round(sum(pipeline_q.values()), 3),
+        "pipeline_queries": pipeline_q,
         "sf": sf,
         "cpus": args.cpus,
     }

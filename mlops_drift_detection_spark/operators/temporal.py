@@ -241,6 +241,53 @@ def interval_join(
     )
 
 
+def interval_bucket_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int,
+    max_candidates: int = 1_000_000,
+) -> DataFrame:
+    """Audit twin of :func:`interval_join`'s time bucketing (same pattern as
+    ``dedup.oversized_bucket_stats`` for LSH band buckets): one row per time
+    bucket whose candidate load — ``n_left x n_intervals`` equi-join pairs
+    the residual predicate must then filter — exceeds ``max_candidates``.
+
+    A pathological overlap window (an interval spanning far more than
+    ``bucket_seconds``, or many intervals piling onto one hot bucket) shows
+    up here BEFORE the join runs: both inputs are column-pruned to their
+    timestamp columns, so this is two narrow scans + two tiny aggregations.
+    Run it alongside ``interval_join`` and alert on any row, so a quadratic
+    bucket is never silent. Empty result == every bucket is within budget.
+    """
+    b = F.lit(bucket_seconds * 1_000_000)
+    lcnt = (
+        left.select(F.floor(_micros(F.col(left_ts)) / b).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rcnt = (
+        right.select(
+            F.explode(
+                F.sequence(
+                    F.floor(_micros(F.col(start_ts)) / b),
+                    F.floor(_micros(F.col(end_ts)) / b),
+                )
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_intervals"))
+    )
+    return (
+        lcnt.join(rcnt, "bucket")
+        .withColumn("candidates", F.col("n_left") * F.col("n_intervals"))
+        .where(F.col("candidates") > F.lit(max_candidates))
+        .select("bucket", "n_left", "n_intervals", "candidates")
+    )
+
+
 def sessionize(df: DataFrame, key: str, ts: str, gap_seconds: int) -> DataFrame:
     """Adds ``session_id`` (0-based per key, in time order): a new session
     starts when the gap since the key's previous event STRICTLY EXCEEDS

@@ -78,3 +78,39 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0 and len(df.columns) > 0
+
+
+def test_driver_window_rotation_contract():
+    """Rotation contract (VERDICT r4 #3): the driver's CORRECTNESS gate reads
+    the first 50 entries of queries(); every catalog entry must have a driver
+    row at most two rounds old. Concretely: any entry parked past position 50
+    must be green in the MOST RECENT CORRECTNESS_r*.json, and any entry that
+    is stale (or never checked) must sit inside the first 50 so the next
+    driver run refreshes it."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver CORRECTNESS files yet (round 1)")
+    latest = json.load(open(files[-1]))
+    green = {
+        k
+        for k, v in latest.items()
+        if v.get("err") is None and v.get("rows_match")
+    }
+
+    names = list(entrymod.queries())
+    assert len(names) == len(set(names))
+    window, parked = names[:50], names[50:]
+
+    stale_parked = [n for n in parked if n not in green]
+    assert stale_parked == [], (
+        f"parked entries without a green row in {os.path.basename(files[-1])}: "
+        f"{stale_parked} — rotate them back into the first 50"
+    )
+    missing_window = [n for n in names if n not in latest and n not in window]
+    assert missing_window == [], (
+        f"never/stale-checked entries outside the driver window: {missing_window}"
+    )

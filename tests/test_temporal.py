@@ -554,3 +554,70 @@ def test_asof_join_auto_mixed_keys(spark):
         "hashpartitioning" in ln and "__chunk" in ln
         for ln in plan.splitlines()
     ), plan
+
+
+def test_interval_bucket_stats_flags_pathological_window(spark):
+    """Audit twin for interval_join bucketing (VERDICT r4 #8): a planted
+    pathological overlap window — one interval spanning the entire timeline
+    at a bucket size tuned for minute-scale intervals — must surface as
+    oversized buckets BEFORE the join, while a healthy workload audits
+    clean. Flagged candidate totals must equal the true equi-join load."""
+    from mlops_drift_detection_spark.operators.temporal import (
+        interval_bucket_stats,
+        interval_join,
+    )
+
+    # 600 left events, one per second over 10 minutes
+    left = spark.createDataFrame(
+        [(i, _ts(i / 60.0)) for i in range(600)], "id long, ts timestamp"
+    )
+    # healthy: 10 one-minute intervals, 60s buckets -> <=120 candidates/bucket
+    healthy = spark.createDataFrame(
+        [(j, _ts(j), _ts(j + 1)) for j in range(10)],
+        "iv long, start timestamp, end timestamp",
+    )
+    assert (
+        interval_bucket_stats(
+            left, healthy, "ts", "start", "end", 60, max_candidates=200
+        ).count()
+        == 0
+    )
+
+    # pathological: one interval covering the whole 10-minute timeline
+    patho = healthy.union(
+        spark.createDataFrame(
+            [(99, _ts(0), _ts(10))], "iv long, start timestamp, end timestamp"
+        )
+    )
+    flagged = interval_bucket_stats(
+        left, patho, "ts", "start", "end", 60, max_candidates=100
+    ).collect()
+    assert len(flagged) == 10  # every bucket of the timeline is now hot
+    assert all(r["n_intervals"] >= 2 and r["candidates"] > 100 for r in flagged)
+
+    # audit's candidate accounting matches the join's real equi-join load:
+    # sum over ALL buckets (cap 0) == rows the bucket equi-join produces
+    total = sum(
+        r["candidates"]
+        for r in interval_bucket_stats(
+            left, patho, "ts", "start", "end", 60, max_candidates=0
+        ).collect()
+    )
+    b = 60 * 1_000_000
+    lb = left.withColumn("__b", F.floor(F.unix_micros("ts") / F.lit(b)))
+    rx = patho.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("start") / F.lit(b)),
+                F.floor(F.unix_micros("end") / F.lit(b)),
+            )
+        ),
+    )
+    assert total == lb.join(rx, "__b").count()
+    # and the capped join itself still returns the exact theta-join result
+    got = interval_join(left, patho, "ts", "start", "end", 60).count()
+    want = left.join(
+        patho, (F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end"))
+    ).count()
+    assert got == want

@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""A/B for VERDICT r4 #7: the split temporal operators scan their input
+twice (full-width main branch + column-pruned summary branch). Candidate
+single-scan shape: persist the pruned per-(key, chunk) local pass
+(``StorageLevel.DISK_ONLY``) so the summary branch reads the persisted
+blocks instead of re-scanning parquet.
+
+Run:  python tools/ab_split_scan.py [--sf-dir /root/testdata/sf0.1]
+                                    [--reps 3] [--cpus 32]
+
+Prints one JSON line with per-shape per-rep wall times for
+``sessionized_events_split``-equivalent work (sessionize_split over the
+events table, chunk=6h) and the asof twin, interleaved A/B/A/B. The winner
+is kept in-tree; the note lands in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from mlops_drift_detection_spark.operators.temporal import (
+    _micros,
+    asof_join_split,
+    sessionize_split,
+)
+from mlops_drift_detection_spark.session import get_spark
+
+
+def sessionize_split_persist(
+    df: DataFrame, key: str, ts: str, gap_seconds: int, chunk_seconds: int
+) -> DataFrame:
+    """Candidate shape B: identical math to sessionize_split, but the local
+    pass is computed once over a PRUNED projection (key, ts, payload join
+    key) and persisted DISK_ONLY; both the join side and the summary branch
+    read the persisted blocks, so parquet is scanned exactly once. The cost
+    moved, not vanished: the full windowed rows are written to local disk
+    before the stitch join (at 100 TB that pins the working set)."""
+    micros = _micros(F.col(ts))
+    chunked = df.withColumn(
+        "__chunk", F.floor(micros / F.lit(chunk_seconds * 1_000_000))
+    )
+    order = Window.partitionBy(key, "__chunk").orderBy(ts)
+    prev = F.lag(micros).over(order)
+    new_session = F.when(
+        prev.isNull() | ((micros - prev) > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(key, "__chunk").orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = chunked.withColumn(
+        "__local", F.sum(new_session).over(running) - 1
+    ).persist(StorageLevel.DISK_ONLY)
+
+    summary = local.groupBy(key, "__chunk").agg(
+        F.min(micros).alias("__first"),
+        F.max(micros).alias("__last"),
+        (F.max("__local") + 1).alias("__nloc"),
+    )
+    by_chunk = Window.partitionBy(key).orderBy("__chunk")
+    merge = F.when(
+        F.col("__first") - F.lag("__last").over(by_chunk)
+        <= gap_seconds * 1_000_000,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    prior = Window.partitionBy(key).orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    stitched = summary.withColumn("__merge", merge).withColumn(
+        "__off",
+        F.coalesce(F.sum(F.col("__nloc") - F.col("__merge")).over(prior), F.lit(0)),
+    )
+    return (
+        local.join(
+            stitched.select(key, "__chunk", "__merge", "__off"), [key, "__chunk"]
+        )
+        .withColumn(
+            "session_id", F.col("__off") + F.col("__local") - F.col("__merge")
+        )
+        .drop("__chunk", "__local", "__merge", "__off")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    spark = get_spark(master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    events = spark.read.parquet(os.path.join(args.sf_dir, "events.parquet"))
+    orders = spark.read.parquet(os.path.join(args.sf_dir, "orders.parquet"))
+
+    # warmup (same discipline as bench.py)
+    spark.range(2_000_000).groupBy((F.col("id") % 16).alias("k")).agg(
+        F.sum("id"), F.avg("id")
+    ).collect()
+    events.count()
+    orders.count()
+
+    GAP, CHUNK = 1800, 6 * 3600
+
+    def run_sess_double() -> int:
+        return sessionize_split(events, "user_id", "ts", GAP, CHUNK).count()
+
+    def run_sess_persist() -> int:
+        df = sessionize_split_persist(events, "user_id", "ts", GAP, CHUNK)
+        n = df.count()
+        spark.catalog.clearCache()
+        return n
+
+    out: dict = {"sf_dir": args.sf_dir, "cpus": args.cpus, "shapes": {}}
+    counts = set()
+    for name, fn in (
+        ("sessionize_double_scan", run_sess_double),
+        ("sessionize_persist", run_sess_persist),
+    ):
+        out["shapes"][name] = []
+    for _ in range(args.reps):
+        for name, fn in (
+            ("sessionize_double_scan", run_sess_double),
+            ("sessionize_persist", run_sess_persist),
+        ):
+            t0 = time.time()
+            counts.add(fn())
+            out["shapes"][name].append(round(time.time() - t0, 3))
+    assert len(counts) == 1, counts
+    out["rows"] = counts.pop()
+    out["best"] = {k: min(v) for k, v in out["shapes"].items()}
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

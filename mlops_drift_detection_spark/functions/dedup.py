@@ -110,34 +110,63 @@ def band_bucket_keys(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, band, bucket) LSH band keys — one projection, one explode."""
+    """(id, band, bucket) LSH band keys.
+
+    Plan shape: explode shingles to rows, then ONE hash aggregate computing
+    all K minhashes as ``min(xxhash64(shingle, seed))`` agg expressions.
+    Higher-order-function lambdas are CodegenFallback in Spark — the
+    per-row ``transform(seeds, s -> array_min(transform(shingles, ...)))``
+    formulation evaluated K x S interpreted expression trees per document
+    (measured ~40 s for 1000 x 54-token docs on one task); the explode+agg
+    form keeps every hash inside whole-stage codegen. Bit-identical output:
+    ``xxhash64(sh, lit(s))`` is the same expression the lambda produced, min
+    over exploded rows == array_min, and ``concat_ws`` == ``array_join`` on
+    the same cast-to-string hash values (``test_dedup`` pins new == old).
+
+    Scale note: the groupBy(id) adds one exchange the projection form did
+    not have, but a document's shingles are co-partitioned with it by
+    construction, so map-side partial aggregation collapses the shuffle to
+    ~one 64-long row per document — paid once, against a ~100x CPU drop on
+    the hashing itself (interpreted HOF eval -> codegen).
+
+    NULL/empty text: ``shingles`` returns ``[NULL]`` for NULL input (one
+    element, never a NULL array), so the exploded row carries sh=NULL and
+    ``min(xxhash64(NULL, s))`` equals the old ``array_min([xxhash64(NULL,
+    s)])`` — xxhash64 skips null inputs and hashes the seed column alone,
+    deterministically. The ``coalesce`` below is a belt-and-braces guard for
+    a caller-supplied NULL array; it preserves the doc as one NULL-shingle
+    row instead of ``explode`` dropping it."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    sh_arr = shingles(F.col(text_col), shingle_k)
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
-    )
-    # one nested transform for all band keys (same codegen-size rationale as
-    # minhash_signature)
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    return sig.select(
-        "id",
         F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bk"),
+            F.coalesce(sh_arr, F.array(F.lit(None).cast("string")))
+        ).alias("sh"),
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", "bk.bucket")
 
 
@@ -397,51 +426,47 @@ def simhash64_native(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Token hash = first 64 bits of md5(token), an engine-portable choice: md5
     is standard everywhere, so the DuckDB oracle reproduces the signatures
-    bit-for-bit (xxhash64 would be Spark-only, FNV needs a UDF). Votes are a
-    single array-accumulator aggregate over the token list (one pass per
-    row); bit tests are bitwiseAND against power-of-two literals because
-    shiftleft/shiftright take only literal shift amounts inside lambdas.
+    bit-for-bit (xxhash64 would be Spark-only, FNV needs a UDF).
+
+    Plan shape: explode tokens to rows, project (hi, lo) md5 halves once per
+    token, then ONE hash aggregate with 64 ``sum(+-1 vote)`` expressions and
+    a 64-term packing projection. The previous per-row
+    ``aggregate(tokens, zip_with(64 bits))`` lambda accumulator was
+    CodegenFallback — tokens x 64 interpreted expression evals per document
+    (measured ~17 s for 400 x 54-token docs on one task); every expression
+    here stays inside whole-stage codegen. Bit-identical output: the votes
+    are commutative +-1 sums over the same token multiset, and packing uses
+    the same two's-complement power table (``test_simhash_native_matches_
+    python_reference`` pins the values). The groupBy(id) exchange collapses
+    to ~one 64-long row per document via map-side partial aggregation.
+    Bit tests are bitwiseAND against power-of-two literals (same rationale
+    as before: shift amounts must be literals).
     """
     toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), "\\s+")
-    p32 = F.array(*[F.lit(v) for v in _POW2_32])
-    p64 = F.array(*[F.lit(v) for v in _POW2_64])
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
-
-    # per-token (hi, lo) 32-bit halves of md5's first 64 bits — computed once
-    hl = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("hi"),
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
-        ),
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    md5c = F.md5(F.col("tok"))
+    proj = exploded.select(
+        "id",
+        F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
-    votes = F.aggregate(
-        hl,
-        zero64,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.transform(
-                bit_idx,
-                lambda b: F.when(
-                    F.when(b < 32, s["lo"].bitwiseAND(F.element_at(p32, b + 1)))
-                    .otherwise(s["hi"].bitwiseAND(F.element_at(p32, b - 31)))
-                    != 0,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)).cast("long"),
-            ),
-            lambda a, c: a + c,
-        ),
-    )
-    packed = F.aggregate(
-        F.sequence(F.lit(1), F.lit(64)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(F.element_at(votes, i) > 0, F.element_at(p64, i)).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+    vote_aggs = []
+    for b in range(64):
+        src = F.col("lo") if b < 32 else F.col("hi")
+        mask = _POW2_32[b] if b < 32 else _POW2_32[b - 32]
+        vote = (
+            F.when(src.bitwiseAND(F.lit(mask)) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+        )
+        vote_aggs.append(F.sum(vote).alias(f"v{b}"))
+    votes = proj.groupBy("id").agg(*vote_aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        packed = packed + F.when(
+            F.col(f"v{b}") > 0, F.lit(_POW2_64[b])
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", packed.alias("simhash"))
 
 
 def simhash_candidates(

@@ -87,16 +87,27 @@ def quality_score(col: Column) -> Column:
 
 
 def language_id(col: Column) -> Column:
-    """Pick the language whose stopword profile hits most (ties -> first in
-    profile order, 'und' when nothing hits). Deterministic, JVM-only."""
-    scores = [(lang, stopword_hits(col, ws)) for lang, ws in STOPWORDS.items()]
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang, sc in reversed(scores):
-        cond = sc > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, sc).otherwise(best_score)
-    return best
+    """Pick the language whose stopword profile hits most; a language needs a
+    strictly positive score, ties go to the LATEST entry in profile order,
+    'und' when nothing hits. Deterministic, JVM-only.
+
+    Shape note: implemented as one ``array_max`` over (score, index, lang)
+    structs, NOT a folded when/otherwise chain — the fold embeds the
+    accumulated tree twice per language (condition + else branch), so its
+    generated code grows 2^N and blew janino's 64 KB method limit inside the
+    confusion-count hashAgg (whole-stage codegen fell back to interpreted).
+    Here each score expression appears exactly once; struct ordering
+    (score, then index) reproduces the fold's tie-break bit-for-bit."""
+    entries = [
+        F.struct(
+            F.coalesce(stopword_hits(col, ws), F.lit(0)).alias("s"),
+            F.lit(i).alias("i"),
+            F.lit(lang).alias("l"),
+        )
+        for i, (lang, ws) in enumerate(STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def doc_fingerprint(col: Column) -> Column:

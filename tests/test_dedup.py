@@ -242,3 +242,64 @@ def test_prefix_filter_cap_drops_boilerplate_only(spark):
         df_all, "text", "id", threshold=0.6, n=3, max_token_bucket=10
     ).collect()
     assert audit and all(r["size"] == 40 for r in audit)
+
+
+def test_band_bucket_keys_match_hof_formulation(spark):
+    """The explode+agg band keys (codegen path) are bit-identical to the
+    per-row higher-order-function formulation they replaced — including the
+    NULL-text and empty-text docs, which reduce to a single NULL/empty
+    shingle whose xxhash64 is seed-only/constant in both shapes."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog tomorrow"),
+        (2, "completely different words about spark joins"),
+        (3, None),
+        (4, None),
+        (5, ""),
+        (6, "   "),
+        (7, "short"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    num_hashes, bands, k = 32, 8, 3
+    rpb = num_hashes // bands
+
+    got = {
+        (r["id"], r["band"], r["bucket"])
+        for r in D.band_bucket_keys(
+            df, "text", "id", num_hashes=num_hashes, bands=bands, shingle_k=k
+        ).collect()
+    }
+
+    # the pre-r5 formulation, reconstructed verbatim: per-row minhash
+    # signature via nested transforms, band keys via array_join over slices
+    sig = df.select(
+        F.col("id"),
+        D.minhash_signature(D.shingles(F.col("text"), k), num_hashes).alias("sig"),
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    old = {
+        (r["id"], r["band"], r["bucket"])
+        for r in sig.select(
+            "id",
+            F.explode(
+                F.transform(
+                    band_idx,
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rpb + 1, rpb),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bk"),
+        )
+        .select("id", "bk.band", "bk.bucket")
+        .collect()
+    }
+    assert got == old

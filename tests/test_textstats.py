@@ -48,6 +48,21 @@ def test_language_id(df):
     assert got[3] == "und"
 
 
+def test_language_id_tie_break_and_nulls(spark):
+    """Pins the fold semantics the array_max rewrite must preserve: a
+    score tie goes to the LATEST language in profile order ('la' hits both
+    es and fr once -> fr), a score must be strictly positive, and NULL text
+    is 'und'. The DuckDB mirror (_sql_language_id) implements the same
+    tie-break, so this also guards oracle parity."""
+    rows = [(0, "la"), (1, None), (2, "zzz qqq"), (3, "der la de")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["l"] for r in df.select("id", T.language_id(F.col("text")).alias("l")).collect()}
+    assert got[0] == "fr"   # es=1 vs fr=1 tie -> latest profile entry wins
+    assert got[1] == "und"  # NULL text never scores
+    assert got[2] == "und"  # zero hits everywhere
+    assert got[3] == "es"   # de=1, es=2 (la+de), fr=1 -> es outright
+
+
 def test_fingerprints(df, spark):
     fp = {r["id"]: r["f"] for r in df.select("id", T.doc_fingerprint(F.col("text")).alias("f")).collect()}
     assert fp[0] != fp[1] and len(fp[0]) == 32

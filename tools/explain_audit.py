@@ -46,7 +46,11 @@ EXPECTED: dict[str, dict] = {
     "time_window_counts": {"scans": 2, "exch": 3, "bnlj": True},
     "dedup_fingerprint_groups": {"scans": 1, "exch": 1},
     "cosine_topk": {"scans": 2, "exch": 3, "wgl": True, "bnlj": True},
-    "simhash_neardup": {"scans": 1, "exch": 2},
+    # exch 3 since the r5 codegen rewrite: simhash votes moved from a per-row
+    # HOF accumulator (CodegenFallback) to explode+groupBy(id) — the extra
+    # exchange collapses to ~one 64-long row/doc via map-side partial agg,
+    # traded for keeping 64x|tokens| hash/vote evals inside codegen
+    "simhash_neardup": {"scans": 1, "exch": 3},
     "ann_lsh_topk": {"scans": 2, "exch": 6, "wgl": True, "bnlj": True},
     "salted_source_stats": {"scans": 1, "exch": 2},
     "embedding_neardup_lsh": {"scans": 4, "exch": 9, "bnlj": True},

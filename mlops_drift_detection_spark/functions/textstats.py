@@ -207,6 +207,45 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
     )
 
 
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens of the lowercased text; blank/empty -> empty array
+    (a raw split of '' yields [''], which would miscount as one token)."""
+    return F.when(
+        F.length(F.trim(col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.lower(col)), "\\s+"))
+
+
+def dup_word_frac(col: Column) -> Column:
+    """Fraction of token occurrences that repeat an already-seen token:
+    1 - distinct_tokens / tokens (0.0 for empty docs). The word-level
+    repetition signal from the Gopher quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 — public literature)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
+
+
+def bigram_array(col: Column) -> Column:
+    """Adjacent token 2-grams as 'tok_i tok_i+1' strings (empty array for
+    docs with < 2 tokens). Feed to explode + groupBy for corpus-scale n-gram
+    frequency work — the per-doc MODE of this multiset is what the Gopher
+    top-n-gram rule thresholds, and a mode is a shuffle aggregation, not a
+    per-row expression, once docs get long."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def text_profile(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
     """One-pass per-group text profile used by pipeline audits."""
     c = F.col(text_col)

@@ -41,6 +41,8 @@ from mlops_drift_detection_spark.functions.similarity import (
 )
 from mlops_drift_detection_spark.functions.textstats import (
     STOPWORDS,
+    bigram_array,
+    dup_word_frac,
     language_id,
     punct_ratio,
     quality_score,
@@ -559,6 +561,104 @@ FROM documents GROUP BY lang
 """
 
 
+def q_gopher_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021, §A1.1 — public
+    literature), per lang: avg duplicate-word fraction, avg top-bigram
+    fraction (mode share of the bigram multiset), avg duplicate-bigram
+    fraction, and how many docs fail the repetition gate
+    (dup_word_frac > 0.30 OR top_bigram_frac > 0.18).
+
+    Plan (one scan): project per-row word metrics + bigram array ->
+    explode_outer (keeps bigram-less docs) -> groupBy (doc_id, bigram) count
+    (the bigram MODE is a shuffle aggregation, not a per-row expression —
+    a 10^9-token doc's mode must not be computed on one task's row) ->
+    groupBy doc_id -> groupBy lang. Three hash aggregations, each with a
+    map-side partial; the (doc_id, bigram) key distributes a mega-doc's
+    bigrams across tasks, and the per-doc rollup sees at most
+    |distinct bigrams| rows per doc. Reference scope note: the reference app
+    has no text-quality operator; this extends the quality-filter family
+    (quality_score, textstats) the way a pretraining-data pipeline needs."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    exploded = docs.select(
+        "doc_id",
+        "lang",
+        dup_word_frac(c).alias("dwf"),
+        F.explode_outer(bigram_array(c)).alias("bg"),
+    )
+    # lang rides as a GROUP KEY, not first(lang): a string-typed aggregation
+    # buffer is not UnsafeRow-mutable, so first(string) demotes both hot
+    # aggregations to SortAggregate (a full sort of the exploded bigram
+    # stream); with string keys + numeric-only buffers they stay
+    # HashAggregate with map-side partials.
+    per_bg = exploded.groupBy("doc_id", "lang", "bg").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("dwf").alias("dwf"),
+    )
+    bg_cnt = F.when(F.col("bg").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
+    per_doc = per_bg.groupBy("doc_id", "lang").agg(
+        F.first("dwf").alias("dwf"),
+        F.sum(bg_cnt).alias("n_bi"),
+        F.max(bg_cnt).alias("top_bi"),
+        F.count(F.when(F.col("bg").isNotNull(), F.lit(1))).alias("n_bi_distinct"),
+    )
+    top_frac = F.when(
+        F.col("n_bi") > 0, F.col("top_bi") / F.col("n_bi")
+    ).otherwise(F.lit(0.0))
+    dup_bi_frac = F.when(
+        F.col("n_bi") > 0, F.lit(1.0) - F.col("n_bi_distinct") / F.col("n_bi")
+    ).otherwise(F.lit(0.0))
+    fails = (F.col("dwf") > 0.30) | (top_frac > 0.18)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dwf"), 6).alias("avg_dup_word_frac"),
+        F.round(F.avg(top_frac), 6).alias("avg_top_bigram_frac"),
+        F.round(F.avg(dup_bi_frac), 6).alias("avg_dup_bigram_frac"),
+        F.sum(fails.cast("int")).alias("n_fail_gate"),
+    )
+
+
+# DuckDB mirror: list comprehensly per-row (list_transform over range builds
+# the bigrams, list_filter counts the mode) — O(n_distinct * n) per doc is
+# fine at oracle scale; the Spark side does the same math as shuffle
+# aggregations because at 100 TB a doc's mode must be distributed.
+_SQL_GOPHER_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+SQL_GOPHER_REPETITION_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_GOPHER_TOKS} AS t FROM documents
+), per_doc AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(t) > 0
+         THEN 1.0 - (len(list_distinct(t))::DOUBLE / len(t))
+         ELSE 0.0 END AS dwf,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END AS bgs
+  FROM base
+), metrics AS (
+  SELECT doc_id, lang, dwf,
+    CASE WHEN len(bgs) > 0
+         THEN list_max(list_transform(list_distinct(bgs),
+                x -> len(list_filter(bgs, y -> y = x))))::DOUBLE / len(bgs)
+         ELSE 0.0 END AS top_frac,
+    CASE WHEN len(bgs) > 0
+         THEN 1.0 - (len(list_distinct(bgs))::DOUBLE / len(bgs))
+         ELSE 0.0 END AS dup_bi_frac
+  FROM per_doc
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(dwf), 6) AS avg_dup_word_frac,
+       round(avg(top_frac), 6) AS avg_top_bigram_frac,
+       round(avg(dup_bi_frac), 6) AS avg_dup_bigram_frac,
+       CAST(sum(CASE WHEN dwf > 0.30 OR top_frac > 0.18 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fail_gate
+FROM metrics GROUP BY lang
+"""
+
+
 def q_language_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID over content vs the labeled lang column:
     (labeled, predicted, n) confusion counts."""
@@ -1014,6 +1114,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "text_quality_profile": q_text_quality_profile,
+    "gopher_repetition_profile": q_gopher_repetition_profile,
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
     "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
@@ -1038,6 +1139,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ann_ivf_trained_topk": _sql_ann_ivf_trained_topk(),
     "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
+    "gopher_repetition_profile": SQL_GOPHER_REPETITION_PROFILE,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,
     "winnow_fingerprint_pairs": SQL_WINNOW_FINGERPRINT_PAIRS,

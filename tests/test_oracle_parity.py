@@ -83,10 +83,12 @@ def test_entry_smoke(spark):
 def test_driver_window_rotation_contract():
     """Rotation contract (VERDICT r4 #3): the driver's CORRECTNESS gate reads
     the first 50 entries of queries(); every catalog entry must have a driver
-    row at most two rounds old. Concretely: any entry parked past position 50
-    must be green in the MOST RECENT CORRECTNESS_r*.json, and any entry that
-    is stale (or never checked) must sit inside the first 50 so the next
-    driver run refreshes it."""
+    row at most TWO rounds old. Concretely: any entry parked past position 50
+    must be green in one of the TWO most recent CORRECTNESS_r*.json files
+    (each round's file holds only that round's 50-entry window, so "green in
+    the latest file" alone would flag every freshly-parked entry the moment
+    the next round's file lands), and any entry with no row in that two-round
+    horizon must sit inside the first 50 so the next driver run checks it."""
     import glob
     import json
 
@@ -94,23 +96,28 @@ def test_driver_window_rotation_contract():
     files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     if not files:
         pytest.skip("no driver CORRECTNESS files yet (round 1)")
-    latest = json.load(open(files[-1]))
-    green = {
-        k
-        for k, v in latest.items()
-        if v.get("err") is None and v.get("rows_match")
-    }
+    horizon = files[-2:]
+    green: set[str] = set()
+    for f in horizon:
+        data = json.load(open(f))
+        green |= {
+            k
+            for k, v in data.items()
+            if v.get("err") is None and v.get("rows_match")
+        }
 
     names = list(entrymod.queries())
     assert len(names) == len(set(names))
     window, parked = names[:50], names[50:]
 
     stale_parked = [n for n in parked if n not in green]
+    horizon_names = ", ".join(os.path.basename(f) for f in horizon)
     assert stale_parked == [], (
-        f"parked entries without a green row in {os.path.basename(files[-1])}: "
-        f"{stale_parked} — rotate them back into the first 50"
+        f"parked entries without a green row in the two-round horizon "
+        f"({horizon_names}): {stale_parked} — rotate them back into the "
+        f"first 50"
     )
-    missing_window = [n for n in names if n not in latest and n not in window]
+    missing_window = [n for n in names if n not in green and n not in window]
     assert missing_window == [], (
         f"never/stale-checked entries outside the driver window: {missing_window}"
     )

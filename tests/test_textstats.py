@@ -142,3 +142,62 @@ def test_text_profile(df):
     prof = T.text_profile(df.withColumn("g", F.lit("all")), "text", ["g"]).collect()[0]
     assert prof["n_docs"] == 6
     assert prof["avg_tokens"] > 0
+
+
+def test_repetition_primitives(df):
+    """dup_word_frac / bigram_array hand-checked on the planted docs."""
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            T.dup_word_frac(F.col("text")).alias("dwf"),
+            T.bigram_array(F.col("text")).alias("bgs"),
+        ).collect()
+    }
+    # doc 0: 11 tokens, 'the' x3 -> 9 distinct -> 1 - 9/11
+    assert rows[0]["dwf"] == pytest.approx(1 - 9 / 11)
+    assert rows[3]["dwf"] == 0.0                      # all distinct
+    assert rows[4]["dwf"] == 0.0 and rows[4]["bgs"] == []   # empty doc
+    assert rows[5]["bgs"] == ["spaced out", "out tokens"]
+    assert len(rows[0]["bgs"]) == 10                  # n_tokens - 1
+
+
+def test_gopher_repetition_profile_planted(spark, tmp_path):
+    """End-to-end q_gopher_repetition_profile on planted docs with
+    hand-computed metrics: a degenerate repeated doc fails the gate, a
+    distinct doc passes, a single-token doc contributes zero fractions."""
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_gopher_repetition_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 'a a a a b' -> 5 toks 2 distinct: dwf=0.6; bigrams
+            # [a a, a a, a a, a b]: top 3/4, distinct 2 -> dup_bi 0.5 -> FAIL
+            (0, "rep", "a a a a b"),
+            # all-distinct, LONG ENOUGH that the top bigram share 1/9 clears
+            # the 0.18 gate (a 5-token distinct doc would read 1/4 = 0.25 and
+            # fail — the Gopher thresholds presume non-trivial length) -> PASS
+            (1, "rep", "q r s t u v w x y z"),
+            # single token: no bigrams, all fractions 0 -> PASS
+            (2, "solo", "lonely"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    got = {
+        r["lang"]: r
+        for r in q_gopher_repetition_profile(spark, out).collect()
+    }
+    rep = got["rep"]
+    assert rep["n_docs"] == 2
+    assert rep["avg_dup_word_frac"] == pytest.approx((0.6 + 0.0) / 2)
+    assert rep["avg_top_bigram_frac"] == pytest.approx((3 / 4 + 1 / 9) / 2, abs=1e-6)
+    assert rep["avg_dup_bigram_frac"] == pytest.approx((0.5 + 0.0) / 2)
+    assert rep["n_fail_gate"] == 1
+    solo = got["solo"]
+    assert solo["n_docs"] == 1
+    assert solo["avg_dup_word_frac"] == 0.0
+    assert solo["avg_top_bigram_frac"] == 0.0
+    assert solo["n_fail_gate"] == 0

@@ -73,6 +73,14 @@ EXPECTED: dict[str, dict] = {
     # branch; the (key, __chunk) hash partitioning is the hot-key fanout
     "sessionized_events_split": {"scans": 2, "exch": 6, "contains": ["__chunk"]},
     "asof_join_events_split": {"scans": 4, "exch": 5, "contains": ["__chunk"]},
+    # r5: single scan -> Generate -> three HashAggregates; lang rides as a
+    # group key so no string agg buffer ever demotes these to SortAggregate
+    # (a full sort of the exploded bigram stream) — locked via not_contains
+    "gopher_repetition_profile": {
+        "scans": 1,
+        "exch": 3,
+        "not_contains": ["SortAggregate"],
+    },
 }
 
 AUDITED = list(EXPECTED)
@@ -126,6 +134,9 @@ def check_invariants(name: str, metrics: dict) -> list[str]:
     for sub in exp.get("contains", []):
         if sub not in metrics["full"]:
             bad.append(f"required plan fragment {sub!r} missing")
+    for sub in exp.get("not_contains", []):
+        if sub in metrics["full"]:
+            bad.append(f"forbidden plan fragment {sub!r} present")
     return bad
 
 

@@ -215,6 +215,12 @@ def _tokens(col: Column) -> Column:
     ).otherwise(F.split(F.trim(F.lower(col)), "\\s+"))
 
 
+def tokens_array(col: Column) -> Column:
+    """Public alias of :func:`_tokens` for callers that need the raw token
+    array (tf-idf, shingling) under the same empty-doc semantics."""
+    return _tokens(col)
+
+
 def dup_word_frac(col: Column) -> Column:
     """Fraction of token occurrences that repeat an already-seen token:
     1 - distinct_tokens / tokens (0.0 for empty docs). The word-level
@@ -242,6 +248,23 @@ def bigram_array(col: Column) -> Column:
             lambda i: F.concat(
                 F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
             ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_shingles(col: Column, k: int = 8) -> Column:
+    """Rolling k-token shingles as 'tok_i .. tok_i+k-1' strings; EMPTY array
+    for docs with < k tokens (decontamination semantics: a doc too short to
+    contain the probe n-gram cannot collide with it — unlike
+    ``dedup.shingles``, which falls back to the whole text so every doc has
+    at least one minhash input)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 

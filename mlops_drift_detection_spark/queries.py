@@ -1386,7 +1386,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    room — its r04 row stays within the two-round contract)
     **{
         k: PIPELINE_QUERIES[k]
-        for k in ("media_real_profile", "gopher_repetition_profile")
+        for k in (
+            "media_real_profile",
+            "gopher_repetition_profile",
+            "decontamination_overlap",
+            "tfidf_top_terms",
+        )
     },
     # -- most recent driver row is r03 (rotated out of the r04 window):
     #    back in per the two-round rule

@@ -48,6 +48,8 @@ from mlops_drift_detection_spark.functions.textstats import (
     quality_score,
     subword_count_bpe_ish,
     token_count,
+    token_shingles,
+    tokens_array,
     winnow_fingerprints,
     wordset_fingerprint,
 )
@@ -659,6 +661,147 @@ FROM metrics GROUP BY lang
 """
 
 
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination (the GPT-3 appendix-C / PaLM protocol —
+    public literature): flag corpus docs sharing any 8-token n-gram with a
+    held-out probe set (here the deterministic stand-in ``doc_id % 7 == 0``
+    plays the eval benchmark — dense enough that the generator's planted
+    near-duplicates land probe/corpus pairs at every test SF), per lang:
+    contaminated-doc count, total and max per-doc DISTINCT matched shingles.
+
+    Plan: the probe side (an eval benchmark — thousands of docs at real
+    scale, vs a 100 TB corpus) explodes to distinct shingles and BROADCASTS;
+    the corpus side explodes and hash-joins in place, so the 100 TB side
+    never shuffles for the join — its only exchanges are the two
+    aggregations ((doc_id, lang) distinct-match rollup, then lang). At
+    production scale the broadcast would carry xxhash64(shingle) longs
+    instead of strings; the string join is kept here so the DuckDB oracle
+    can mirror the exact join key. Reference scope note: no counterpart in
+    the reference app; extends the curation family the way a pretraining
+    pipeline needs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = token_shingles(F.col("text"), k=8)
+    is_probe = F.col("doc_id") % 7 == 0
+    probes = (
+        docs.filter(is_probe)
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    corpus = docs.filter(~is_probe).select(
+        "doc_id", "lang", F.explode(sh).alias("sh")
+    )
+    per_doc = (
+        corpus.join(F.broadcast(probes), "sh")
+        .groupBy("doc_id", "lang")
+        .agg(F.count_distinct("sh").alias("n_matched"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_contaminated_docs"),
+        F.sum("n_matched").alias("total_matched_shingles"),
+        F.max("n_matched").alias("max_doc_matched"),
+    )
+
+
+_SQL_DECON_SHINGLES = (
+    # mirrors token_shingles(k=8): empty list below 8 tokens; 1-based
+    # inclusive DuckDB list slice t[i:i+7] is exactly 8 tokens
+    "CASE WHEN len({t}) >= 8 THEN list_transform(range(1, len({t}) - 6), "
+    "i -> array_to_string({t}[i:i+7], ' ')) ELSE CAST([] AS VARCHAR[]) END"
+)
+SQL_DECONTAMINATION_OVERLAP = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_GOPHER_TOKS} AS t FROM documents
+), shingled AS (
+  SELECT doc_id, lang, {_SQL_DECON_SHINGLES.format(t='t')} AS shs FROM base
+), probe AS (
+  SELECT DISTINCT unnest(shs) AS sh FROM shingled WHERE doc_id % 7 = 0
+), corpus AS (
+  SELECT doc_id, lang, unnest(shs) AS sh FROM shingled WHERE doc_id % 7 <> 0
+), per_doc AS (
+  SELECT c.doc_id, c.lang, count(DISTINCT c.sh) AS n_matched
+  FROM corpus c JOIN probe p USING (sh)
+  GROUP BY c.doc_id, c.lang
+)
+SELECT lang, count(*) AS n_contaminated_docs,
+       CAST(sum(n_matched) AS BIGINT) AS total_matched_shingles,
+       max(n_matched) AS max_doc_matched
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per lang by corpus-level TF-IDF: per-(lang, term)
+    frequency weighted by ln(N / df), df = docs containing the term anywhere
+    in the corpus. Ties broken by term ascending (deterministic top-k).
+
+    Plan (one pass over the exploded tokens): groupBy (lang, term) computes
+    tf AND the per-lang distinct-doc count in one aggregation — a doc has
+    exactly ONE lang, so global df(term) is the SUM of per-lang distinct
+    counts, recovered with a window over term instead of a second scan +
+    join. N (total docs) is a broadcast 1-row aggregate crossJoin (the
+    repo-standard scalar pattern). Top-k per lang is row_number ->
+    WindowGroupLimit, so each lang keeps only 5 rows past the final
+    exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    exploded = docs.select(
+        "doc_id", "lang", F.explode(tokens_array(F.col("text"))).alias("term")
+    )
+    per_lang_term = exploded.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("dfl"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_term = Window.partitionBy("term")
+    scored = (
+        per_lang_term.withColumn("df", F.sum("dfl").over(w_term))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_total") / F.col("df")))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "lang",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_GOPHER_TOKS} AS t FROM documents
+), exploded AS (
+  SELECT doc_id, lang, unnest(t) AS term FROM base
+), per_lang_term AS (
+  SELECT lang, term, count(*) AS tf, count(DISTINCT doc_id) AS dfl
+  FROM exploded GROUP BY lang, term
+), scored AS (
+  SELECT lang, term, tf,
+         sum(dfl) OVER (PARTITION BY term) AS df,
+         tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                 / sum(dfl) OVER (PARTITION BY term)) AS score
+  FROM per_lang_term
+), ranked AS (
+  SELECT lang, term, tf, df, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC)
+           AS rank
+  FROM scored
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term, tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS tfidf
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_language_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID over content vs the labeled lang column:
     (labeled, predicted, n) confusion counts."""
@@ -1115,6 +1258,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "text_quality_profile": q_text_quality_profile,
     "gopher_repetition_profile": q_gopher_repetition_profile,
+    "decontamination_overlap": q_decontamination_overlap,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
     "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
@@ -1140,6 +1285,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
     "gopher_repetition_profile": SQL_GOPHER_REPETITION_PROFILE,
+    "decontamination_overlap": SQL_DECONTAMINATION_OVERLAP,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,
     "winnow_fingerprint_pairs": SQL_WINNOW_FINGERPRINT_PAIRS,

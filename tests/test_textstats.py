@@ -201,3 +201,69 @@ def test_gopher_repetition_profile_planted(spark, tmp_path):
     assert solo["avg_dup_word_frac"] == 0.0
     assert solo["avg_top_bigram_frac"] == 0.0
     assert solo["n_fail_gate"] == 0
+
+
+def test_decontamination_overlap_planted(spark, tmp_path):
+    """Probe doc 0 (doc_id % 7 == 0) shares one 8-token shingle with corpus
+    doc 1; doc 2 is clean; doc 14 is a probe too short to shingle. Expected:
+    exactly one contaminated doc with one distinct matched shingle."""
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_decontamination_overlap,
+    )
+
+    run = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = spark.createDataFrame(
+        [
+            (0, "en", run + " t9"),          # probe: shingles [t1..t8, t2..t9]
+            (1, "en", "x " + run + " y"),    # corpus: contains t1..t8 -> 1 hit
+            (2, "en", "a b c d e f g h"),    # corpus: no overlap
+            (14, "fr", "tiny probe"),         # probe, < 8 tokens: no shingles
+            (3, "fr", "u v w x y z q r"),    # corpus: no overlap
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = q_decontamination_overlap(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lang"] == "en"
+    assert r["n_contaminated_docs"] == 1
+    assert r["total_matched_shingles"] == 1
+    assert r["max_doc_matched"] == 1
+
+
+def test_tfidf_top_terms_planted(spark, tmp_path):
+    """Hand-computed tf-idf on a 3-doc corpus: global df crosses langs (a doc
+    has one lang, so df = sum of per-lang distinct counts), ties broken by
+    term ascending."""
+    import math
+
+    from mlops_drift_detection_spark.queries_pipeline import q_tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "apple banana apple"),
+            (1, "en", "banana cherry"),
+            (2, "fr", "apple durian"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    got = [
+        (r["lang"], r["rank"], r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in q_tfidf_top_terms(spark, out)
+        .orderBy("lang", "rank")
+        .collect()
+    ]
+    ln3 = round(math.log(3.0), 6)
+    ln32 = round(math.log(3.0 / 2.0), 6)
+    assert got == [
+        # en: cherry 1*ln(3) beats the apple/banana tie 2*ln(3/2); tie -> term asc
+        ("en", 1, "cherry", 1, 1, ln3),
+        ("en", 2, "apple", 2, 2, round(2 * math.log(3.0 / 2.0), 6)),
+        ("en", 3, "banana", 2, 2, round(2 * math.log(3.0 / 2.0), 6)),
+        ("fr", 1, "durian", 1, 1, ln3),
+        ("fr", 2, "apple", 1, 2, ln32),
+    ]

@@ -81,6 +81,18 @@ EXPECTED: dict[str, dict] = {
         "exch": 3,
         "not_contains": ["SortAggregate"],
     },
+    # r5: the 100 TB corpus side must reach the probe join WITHOUT a
+    # shuffle — BroadcastHashJoin BuildRight (probe side), so the only
+    # exchanges are the probe distinct + the two rollups; locked by the
+    # contains fragment plus the exact counts
+    "decontamination_overlap": {
+        "scans": 2,
+        "exch": 5,
+        "contains": ["BroadcastHashJoin"],
+    },
+    # r5: top-5-per-lang must keep the per-partition limit pushdown; the
+    # BNLJ is the whitelisted scalar 1-row N-docs broadcast crossJoin
+    "tfidf_top_terms": {"scans": 2, "exch": 6, "wgl": True, "bnlj": True},
 }
 
 AUDITED = list(EXPECTED)

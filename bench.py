@@ -67,6 +67,18 @@ PIPELINE_GROUP = [
     "winnow_fingerprint_pairs",
 ]
 
+# UNPINNED extras: catalog queries added after their group baselines froze.
+# Timed so brand-new operators carry wall-time signal from their first round
+# (the gap VERDICT r4 #2 flagged), WITHOUT appending to a pinned group —
+# entries here graduate into a new pinned group only when a round explicitly
+# declares a new baseline for it.
+EXTRAS_GROUP = [
+    "gopher_repetition_profile",
+    "decontamination_overlap",
+    "decontaminated_corpus_stats",
+    "tfidf_top_terms",
+]
+
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
 
 
@@ -212,6 +224,19 @@ def main() -> None:
             pipeline_q[name] = round(time.time() - t0, 3)
             _ = n
 
+    extras_q: dict[str, float] = {}
+    if not (args.skip_headline and args.skip_pipeline):
+        # extras ride with whichever pinned group ran (warmup already done);
+        # a reps-only invocation (both groups skipped) stays extras-free so
+        # scaling runs time nothing but the full pass
+        for name in EXTRAS_GROUP:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            extras_q[name] = round(time.time() - t0, 3)
+            _ = n
+
     out = {
         "metric": "headline_total",
         "value": round(sum(per_query.values()), 3),
@@ -219,6 +244,8 @@ def main() -> None:
         "queries": per_query,
         "pipeline_total": round(sum(pipeline_q.values()), 3),
         "pipeline_queries": pipeline_q,
+        "extras_total": round(sum(extras_q.values()), 3),
+        "extras_queries": extras_q,
         "sf": sf,
         "cpus": args.cpus,
     }

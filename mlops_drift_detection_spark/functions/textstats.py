@@ -252,6 +252,31 @@ def bigram_array(col: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def bigram_structs(tok_col: Column) -> Column:
+    """Adjacent-token bigrams as ``array<struct>`` built by zipping two
+    shifted slices — `arrays_zip`/`slice` are native whole-stage-codegen
+    expressions, where the equivalent ``transform(sequence, i ->
+    concat(element_at...))`` lambda is CodegenFallback (interpreted per
+    element; the same trap the r5 minhash rewrite removed, BENCH.md
+    "CodegenFallback lesson"). Struct equality ≡ joined-string equality
+    (tokens cannot contain the separator after a whitespace split), so
+    group/join keys can use the struct directly and never materialize the
+    concatenated string. Takes the TOKEN ARRAY column (project
+    :func:`tokens_array` once first) so the split isn't re-evaluated per
+    slice."""
+    m = F.greatest(F.size(tok_col) - 1, F.lit(0))
+    return F.arrays_zip(F.slice(tok_col, 1, m), F.slice(tok_col, 2, m))
+
+
+def shingle_structs(tok_col: Column, k: int = 8) -> Column:
+    """Rolling k-token shingles as ``array<struct>`` — k shifted slices
+    zipped natively (see :func:`bigram_structs` for why structs, not
+    concatenated strings). Empty array for docs with < k tokens
+    (decontamination semantics: too short to contain the probe n-gram)."""
+    m = F.greatest(F.size(tok_col) - k + 1, F.lit(0))
+    return F.arrays_zip(*[F.slice(tok_col, i + 1, m) for i in range(k)])
+
+
 def token_shingles(col: Column, k: int = 8) -> Column:
     """Rolling k-token shingles as 'tok_i .. tok_i+k-1' strings; EMPTY array
     for docs with < k tokens (decontamination semantics: a doc too short to

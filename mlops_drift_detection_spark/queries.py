@@ -1381,15 +1381,19 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #               contract). Parked set still covered by the pytest
 #               oracle-parity sweep and the judge's local gate replica.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-checked: lead the dict (gopher_repetition_profile is
-    #    new in round 5; schema_align_profile parked to the buffer to make
-    #    room — its r04 row stays within the two-round contract)
+    # -- never driver-checked: lead the dict (gopher_repetition_profile,
+    #    decontamination_overlap, decontaminated_corpus_stats and
+    #    tfidf_top_terms are new in round 5; schema_align_profile,
+    #    zscore_outliers, time_window_counts and range_check_events parked
+    #    to the buffer to make room — all four have green r04 rows, within
+    #    the two-round contract)
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
             "media_real_profile",
             "gopher_repetition_profile",
             "decontamination_overlap",
+            "decontaminated_corpus_stats",
             "tfidf_top_terms",
         )
     },
@@ -1437,9 +1441,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_verdicts": q_drift_verdicts,
     "uniqueness_events": q_uniqueness_events,
     "referential_orders": q_referential_orders,
-    "zscore_outliers": q_zscore_outliers,
-    "range_check_events": q_range_check_events,
-    "time_window_counts": q_time_window_counts,
     "daily_event_windows": q_daily_event_windows,
     "asof_join_events": q_asof_join_events,
     "asof_join_events_split": q_asof_join_events_split,
@@ -1459,6 +1460,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sweep.
     # ------------------------------------------------------------------
     "schema_align_profile": q_schema_align_profile,
+    "zscore_outliers": q_zscore_outliers,
+    "time_window_counts": q_time_window_counts,
+    "range_check_events": q_range_check_events,
     "salted_source_stats": q_salted_source_stats,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "pricing_summary": q_pricing_summary,

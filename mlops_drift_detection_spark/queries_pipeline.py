@@ -41,14 +41,14 @@ from mlops_drift_detection_spark.functions.similarity import (
 )
 from mlops_drift_detection_spark.functions.textstats import (
     STOPWORDS,
-    bigram_array,
+    bigram_structs,
     dup_word_frac,
+    shingle_structs,
     language_id,
     punct_ratio,
     quality_score,
     subword_count_bpe_ish,
     token_count,
-    token_shingles,
     tokens_array,
     winnow_fingerprints,
     wordset_fingerprint,
@@ -582,11 +582,20 @@ def q_gopher_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality_score, textstats) the way a pretraining-data pipeline needs."""
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
-    exploded = docs.select(
+    # bigrams as zipped-slice STRUCTS, not transform()-built strings: the
+    # HOF lambda form is CodegenFallback and measured 4x slower at sf0.1
+    # (BENCH.md r5 extras A/B); struct equality ≡ string equality here
+    toked = docs.select(
         "doc_id",
         "lang",
         dup_word_frac(c).alias("dwf"),
-        F.explode_outer(bigram_array(c)).alias("bg"),
+        tokens_array(c).alias("toks"),
+    )
+    exploded = toked.select(
+        "doc_id",
+        "lang",
+        "dwf",
+        F.explode_outer(bigram_structs(F.col("toks"))).alias("bg"),
     )
     # lang rides as a GROUP KEY, not first(lang): a string-typed aggregation
     # buffer is not UnsafeRow-mutable, so first(string) demotes both hot
@@ -680,14 +689,20 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference app; extends the curation family the way a pretraining
     pipeline needs."""
     docs = _t(spark, sf_dir, "documents")
-    sh = token_shingles(F.col("text"), k=8)
+    # shingles as zipped-slice STRUCTS (codegen) instead of transform()-
+    # built strings (CodegenFallback) — same rationale + A/B as the gopher
+    # bigrams; struct join keys ≡ string join keys after a whitespace split
+    toked = docs.select(
+        "doc_id", "lang", tokens_array(F.col("text")).alias("toks")
+    )
+    sh = shingle_structs(F.col("toks"), k=8)
     is_probe = F.col("doc_id") % 7 == 0
     probes = (
-        docs.filter(is_probe)
+        toked.filter(is_probe)
         .select(F.explode(sh).alias("sh"))
         .distinct()
     )
-    corpus = docs.filter(~is_probe).select(
+    corpus = toked.filter(~is_probe).select(
         "doc_id", "lang", F.explode(sh).alias("sh")
     )
     per_doc = (
@@ -703,7 +718,8 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_DECON_SHINGLES = (
-    # mirrors token_shingles(k=8): empty list below 8 tokens; 1-based
+    # mirrors shingle_structs(k=8) via the string form (struct tuple ==
+    # joined string after a whitespace split): empty below 8 tokens; 1-based
     # inclusive DuckDB list slice t[i:i+7] is exactly 8 tokens
     "CASE WHEN len({t}) >= 8 THEN list_transform(range(1, len({t}) - 6), "
     "i -> array_to_string({t}[i:i+7], ' ')) ELSE CAST([] AS VARCHAR[]) END"
@@ -799,6 +815,115 @@ WITH base AS (
 SELECT lang, CAST(rank AS BIGINT) AS rank, term, tf, CAST(df AS BIGINT) AS df,
        round(score, 6) AS tfidf
 FROM ranked WHERE rank <= 5
+"""
+
+
+def q_decontaminated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL training-corpus preparation as ONE composable plan: drop the
+    eval probes (doc_id % 7 == 0), exact-dedup the rest (keep-min-id via
+    WindowGroupLimit), classify every surviving doc — contaminated (shares
+    an 8-token shingle with a probe), low-quality (composite < 0.5 or
+    < 10 tokens), or curated — and roll up per lang: counts of each class
+    plus token/quality sums over the curated set.
+
+    Three scans, all necessary: (1) the main dedup branch, (2) the corpus
+    shingle branch (computed on the RAW non-probe corpus — a doc's own
+    shingles don't change with dedup, so this branch needs no window),
+    (3) the probe branch. The contaminated-doc set (a few doc_ids) comes
+    back as a broadcastable left join; classification is a two-level
+    CASE so each doc lands in exactly one class (contamination takes
+    precedence — a contaminated doc is dropped before anyone reads its
+    quality score, matching the published decontamination protocols)."""
+    from pyspark.sql import Window
+
+    from mlops_drift_detection_spark.functions.textstats import (
+        doc_fingerprint,
+        quality_score_raw,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_probe = F.col("doc_id") % 7 == 0
+
+    toked = docs.select(
+        "doc_id", tokens_array(F.col("text")).alias("toks")
+    )
+    sh = F.explode(shingle_structs(F.col("toks"), k=8)).alias("sh")
+    probes = toked.filter(is_probe).select(sh).distinct()
+    contaminated = (
+        toked.filter(~is_probe)
+        .select("doc_id", sh)
+        .join(F.broadcast(probes), "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        docs.filter(~is_probe)
+        .withColumn("fp", doc_fingerprint(F.col("text")))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    c = F.col("text")
+    q = quality_score_raw(c)
+    classed = kept.join(contaminated, "doc_id", "left").withColumn(
+        "cls",
+        F.when(F.col("is_contam"), F.lit("contaminated"))
+        .when((q >= 0.5) & (token_count(c) >= 10), F.lit("curated"))
+        .otherwise(F.lit("low_quality")),
+    )
+    curated = F.col("cls") == "curated"
+    return classed.groupBy("lang").agg(
+        F.sum(curated.cast("int")).alias("n_curated"),
+        F.sum((F.col("cls") == "contaminated").cast("int")).alias("n_contaminated"),
+        F.sum((F.col("cls") == "low_quality").cast("int")).alias("n_low_quality"),
+        F.sum(F.when(curated, token_count(c)).otherwise(F.lit(0))).alias(
+            "total_tokens"
+        ),
+        F.round(F.sum(F.when(curated, q).otherwise(F.lit(0.0))), 4).alias(
+            "total_quality"
+        ),
+    )
+
+
+SQL_DECONTAMINATED_CORPUS_STATS = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_GOPHER_TOKS} AS t FROM documents
+), shingled AS (
+  SELECT doc_id, {_SQL_DECON_SHINGLES.format(t='t')} AS shs FROM base
+), probe AS (
+  SELECT DISTINCT unnest(shs) AS sh FROM shingled WHERE doc_id % 7 = 0
+), contam AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT doc_id, unnest(shs) AS sh FROM shingled WHERE doc_id % 7 <> 0) s
+  JOIN probe p USING (sh)
+), f AS (
+  SELECT doc_id, lang, text, md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+), w AS (
+  SELECT min(doc_id) AS doc_id FROM f GROUP BY fp
+), classed AS (
+  SELECT lang, text,
+    CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+         WHEN {_sql_quality_score_raw('text')} >= 0.5
+              AND {_sql_token_count('text')} >= 10 THEN 'curated'
+         ELSE 'low_quality' END AS cls
+  FROM f WHERE doc_id IN (SELECT doc_id FROM w)
+)
+SELECT lang,
+  CAST(sum(CASE WHEN cls = 'curated' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_curated,
+  CAST(sum(CASE WHEN cls = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  CAST(sum(CASE WHEN cls = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_low_quality,
+  CAST(sum(CASE WHEN cls = 'curated' THEN {_sql_token_count('text')}
+           ELSE 0 END) AS BIGINT) AS total_tokens,
+  round(sum(CASE WHEN cls = 'curated'
+            THEN {_sql_quality_score_raw('text')} ELSE 0.0 END), 4)
+    AS total_quality
+FROM classed GROUP BY lang
 """
 
 
@@ -1259,6 +1384,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_profile": q_text_quality_profile,
     "gopher_repetition_profile": q_gopher_repetition_profile,
     "decontamination_overlap": q_decontamination_overlap,
+    "decontaminated_corpus_stats": q_decontaminated_corpus_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
@@ -1286,6 +1412,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
     "gopher_repetition_profile": SQL_GOPHER_REPETITION_PROFILE,
     "decontamination_overlap": SQL_DECONTAMINATION_OVERLAP,
+    "decontaminated_corpus_stats": SQL_DECONTAMINATED_CORPUS_STATS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,

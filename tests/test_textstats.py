@@ -267,3 +267,72 @@ def test_tfidf_top_terms_planted(spark, tmp_path):
         ("fr", 1, "durian", 1, 1, ln3),
         ("fr", 2, "apple", 1, 2, ln32),
     ]
+
+
+def test_struct_vs_string_ngram_equivalence(spark):
+    """The codegen-friendly struct n-grams (bigram_structs/shingle_structs,
+    the hot path) must agree with the string forms (bigram_array/
+    token_shingles, the readable spec) on every doc: same count, same
+    multiset — asserted by joining each struct back to its string."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a b"),
+            (1, "q r s t u v w x y z"),
+            (2, "lonely"),
+            (3, ""),
+            (4, "  spaced   out   tokens  "),
+            (5, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+        ],
+        "doc_id long, text string",
+    )
+    toked = docs.select(
+        "doc_id", T.tokens_array(F.col("text")).alias("toks"), "text"
+    )
+    rows = toked.select(
+        "doc_id",
+        T.bigram_array(F.col("text")).alias("bg_str"),
+        T.bigram_structs(F.col("toks")).alias("bg_struct"),
+        T.token_shingles(F.col("text"), 8).alias("sh_str"),
+        T.shingle_structs(F.col("toks"), 8).alias("sh_struct"),
+    ).collect()
+    for r in rows:
+        assert [f"{s['0']} {s['1']}" for s in r["bg_struct"]] == r["bg_str"]
+        assert [
+            " ".join(s[str(i)] for i in range(8)) for s in r["sh_struct"]
+        ] == r["sh_str"]
+
+
+def test_decontaminated_corpus_stats_planted(spark, tmp_path):
+    """Composed pipeline classification on planted docs: a duplicate loses
+    to keep-min, a probe-overlapping doc is contaminated (even though its
+    quality would pass), a short doc is low-quality, a good doc is curated;
+    probes themselves never appear in the rollup."""
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_decontaminated_corpus_stats,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while many other words "
+        "keep this document long and varied enough to pass the quality gate"
+    )
+    run = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = spark.createDataFrame(
+        [
+            (0, "en", run + " p9"),       # probe (0 % 7 == 0): excluded
+            (1, "en", good),               # curated
+            (2, "en", good),               # exact dup of 1 -> dropped by keep-min
+            (3, "en", good + " " + run),  # shares a probe 8-gram -> contaminated
+            (4, "en", "too short"),        # low-quality (< 10 tokens)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = q_decontaminated_corpus_stats(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lang"] == "en"
+    assert r["n_curated"] == 1
+    assert r["n_contaminated"] == 1
+    assert r["n_low_quality"] == 1
+    assert r["total_tokens"] == 25  # the good doc's whitespace tokens

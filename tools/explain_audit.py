@@ -93,6 +93,15 @@ EXPECTED: dict[str, dict] = {
     # r5: top-5-per-lang must keep the per-partition limit pushdown; the
     # BNLJ is the whitelisted scalar 1-row N-docs broadcast crossJoin
     "tfidf_top_terms": {"scans": 2, "exch": 6, "wgl": True, "bnlj": True},
+    # r5 composed pipeline: dedup -> decontaminate -> gate -> stats. The
+    # 100 TB main branch must keep WindowGroupLimit and cross exactly ONE
+    # exchange before the final agg; contaminated set + probes broadcast
+    "decontaminated_corpus_stats": {
+        "scans": 3,
+        "exch": 6,
+        "wgl": True,
+        "contains": ["BroadcastHashJoin LeftOuter"],
+    },
 }
 
 AUDITED = list(EXPECTED)

@@ -76,6 +76,7 @@ EXTRAS_GROUP = [
     "gopher_repetition_profile",
     "decontamination_overlap",
     "decontaminated_corpus_stats",
+    "streaming_dedup_counts",
     "tfidf_top_terms",
 ]
 

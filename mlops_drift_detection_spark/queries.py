@@ -1382,11 +1382,13 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #               oracle-parity sweep and the judge's local gate replica.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: lead the dict (gopher_repetition_profile,
-    #    decontamination_overlap, decontaminated_corpus_stats and
-    #    tfidf_top_terms are new in round 5; schema_align_profile,
-    #    zscore_outliers, time_window_counts and range_check_events parked
-    #    to the buffer to make room — all four have green r04 rows, within
-    #    the two-round contract)
+    #    decontamination_overlap, decontaminated_corpus_stats,
+    #    streaming_dedup_counts and tfidf_top_terms are new in round 5;
+    #    schema_align_profile,
+    #    zscore_outliers, time_window_counts, range_check_events and
+    #    daily_event_windows parked to the buffer to make room — all five
+    #    have green r04 rows, within the two-round contract; streaming
+    #    breadth stays in-window via streaming_dedup_counts + streaming_drift)
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1394,6 +1396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "gopher_repetition_profile",
             "decontamination_overlap",
             "decontaminated_corpus_stats",
+            "streaming_dedup_counts",
             "tfidf_top_terms",
         )
     },
@@ -1441,7 +1444,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_verdicts": q_drift_verdicts,
     "uniqueness_events": q_uniqueness_events,
     "referential_orders": q_referential_orders,
-    "daily_event_windows": q_daily_event_windows,
     "asof_join_events": q_asof_join_events,
     "asof_join_events_split": q_asof_join_events_split,
     "interval_join_error_windows": q_interval_join_error_windows,
@@ -1463,6 +1465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore_outliers": q_zscore_outliers,
     "time_window_counts": q_time_window_counts,
     "range_check_events": q_range_check_events,
+    "daily_event_windows": q_daily_event_windows,
     "salted_source_stats": q_salted_source_stats,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "pricing_summary": q_pricing_summary,

@@ -887,6 +887,103 @@ def q_decontaminated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stateful exact-dedup (§2.9 breadth beyond the drift
+    topology): documents replayed as a file stream (several part files,
+    ``maxFilesPerTrigger=1`` → multiple micro-batches) through
+    ``dropDuplicates([lang, fp])`` — Spark keeps the seen-fingerprint set in
+    the state store ACROSS batches, so a duplicate arriving in a later
+    micro-batch than its first copy is still suppressed. Per-batch emitted
+    rows are accumulated (batch_id-keyed: at-least-once retries overwrite,
+    never double-count) and merged at stream end against static totals:
+    per lang, n_total / n_unique / dup_rate.
+
+    Deduping on (lang, fp) makes the OUTPUT order-independent — per-lang
+    unique counts equal ``count(DISTINCT fp)`` no matter which copy wins —
+    which is what lets a static DuckDB oracle hash-match a streaming run.
+    Production note: unbounded replay would use
+    ``dropDuplicatesWithinWatermark`` to bound state; availableNow replay
+    of a finite corpus (this topology) keeps exact total state, which is
+    the semantics exact dedup needs. Reference scope: the reference app's
+    streaming surface is the append-only prediction log (main.py:170-190);
+    this extends it the way a continuously-ingesting corpus pipeline needs."""
+    import shutil
+    import tempfile
+
+    from mlops_drift_detection_spark.functions.textstats import doc_fingerprint
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    acc: dict[int, list[tuple]] = {}
+    try:
+        in_dir = f"{tmp}/input"
+        docs.repartition(4).write.parquet(in_dir)
+        schema = spark.read.parquet(in_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        deduped = stream.withColumn(
+            "fp", doc_fingerprint(F.col("text"))
+        ).dropDuplicates(["lang", "fp"])
+
+        def _cb(batch_df: DataFrame, batch_id: int) -> None:
+            acc[batch_id] = [
+                (r["lang"], r["n"])
+                for r in batch_df.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+
+        q = (
+            deduped.writeStream.foreachBatch(_cb)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert len(acc) > 1, (
+            f"{len(acc)} micro-batch for {len(totals)} langs — input was not "
+            "split, the cross-batch dedup state went unexercised"
+        )
+        uniq: dict[str, int] = {}
+        for rows_ in acc.values():
+            for lang, n in rows_:
+                uniq[lang] = uniq.get(lang, 0) + n
+        out = [
+            (
+                lang,
+                int(totals[lang]),
+                int(uniq.get(lang, 0)),
+                round(1.0 - uniq.get(lang, 0) / totals[lang], 6),
+            )
+            for lang in sorted(totals)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "lang string, n_total long, n_unique long, dup_rate double"
+    )
+
+
+SQL_STREAMING_DEDUP_COUNTS = """
+SELECT lang, count(*) AS n_total,
+       count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+       round(1.0 - count(DISTINCT md5(lower(trim(text))))::DOUBLE
+             / count(*), 6) AS dup_rate
+FROM documents WHERE text IS NOT NULL GROUP BY lang
+"""
+
+
 SQL_DECONTAMINATED_CORPUS_STATS = f"""
 WITH base AS (
   SELECT doc_id, lang, {_SQL_GOPHER_TOKS} AS t FROM documents
@@ -1385,6 +1482,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition_profile": q_gopher_repetition_profile,
     "decontamination_overlap": q_decontamination_overlap,
     "decontaminated_corpus_stats": q_decontaminated_corpus_stats,
+    "streaming_dedup_counts": q_streaming_dedup_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
@@ -1413,6 +1511,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "gopher_repetition_profile": SQL_GOPHER_REPETITION_PROFILE,
     "decontamination_overlap": SQL_DECONTAMINATION_OVERLAP,
     "decontaminated_corpus_stats": SQL_DECONTAMINATED_CORPUS_STATS,
+    "streaming_dedup_counts": SQL_STREAMING_DEDUP_COUNTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,

@@ -384,3 +384,58 @@ def test_accumulator_retry_idempotent(spark, stream_dirs):
     twice = finalize_accumulated_drift(acc, BASELINE, CATS)
     assert once == twice
     assert twice[0]["n_rows"] == 300
+
+
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    """dropDuplicates state must suppress a duplicate whose first copy
+    arrived in an EARLIER micro-batch. Driven directly (no repartition):
+    the two copies sit in separate part files written seconds apart, the
+    file source replays oldest-first at maxFilesPerTrigger=1, and the
+    per-batch doc_id trace proves (a) the copies were in different batches
+    and (b) only the first was emitted — state, not within-batch dedup."""
+    import time as _time
+
+    from mlops_drift_detection_spark.functions.textstats import doc_fingerprint
+
+    base = str(tmp_path / "docs")
+    f1 = spark.createDataFrame(
+        [(1, "en", "same text here"), (2, "en", "unique one")],
+        "doc_id long, lang string, text string",
+    )
+    f2 = spark.createDataFrame(
+        [(3, "en", "same text here"), (4, "fr", "same text here")],
+        "doc_id long, lang string, text string",
+    )
+    f1.coalesce(1).write.parquet(base)
+    _time.sleep(1.1)  # distinct mtimes: the file source orders oldest-first
+    f2.coalesce(1).write.mode("append").parquet(base)
+
+    schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    deduped = stream.withColumn(
+        "fp", doc_fingerprint(F.col("text"))
+    ).dropDuplicates(["lang", "fp"])
+    emitted: dict[int, list[int]] = {}
+
+    def _cb(batch_df, batch_id):
+        emitted[batch_id] = sorted(r["doc_id"] for r in batch_df.collect())
+
+    q = (
+        deduped.writeStream.foreachBatch(_cb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(emitted) >= 2, "copies shared a batch — nothing was proven"
+    all_emitted = sorted(d for ids in emitted.values() for d in ids)
+    # doc 3 (cross-batch dup of doc 1) suppressed by STATE; doc 4 has the
+    # same text but another lang -> kept (dedup key is (lang, fp))
+    assert all_emitted == [1, 2, 4]
+    batch_of = {d: b for b, ids in emitted.items() for d in ids}
+    assert batch_of[1] < max(emitted), "doc 1 should precede the last batch"

@@ -77,6 +77,7 @@ EXTRAS_GROUP = [
     "decontamination_overlap",
     "decontaminated_corpus_stats",
     "streaming_dedup_counts",
+    "packing_efficiency",
     "tfidf_top_terms",
 ]
 

@@ -1385,10 +1385,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    decontamination_overlap, decontaminated_corpus_stats,
     #    streaming_dedup_counts and tfidf_top_terms are new in round 5;
     #    schema_align_profile,
-    #    zscore_outliers, time_window_counts, range_check_events and
-    #    daily_event_windows parked to the buffer to make room — all five
-    #    have green r04 rows, within the two-round contract; streaming
-    #    breadth stays in-window via streaming_dedup_counts + streaming_drift)
+    #    zscore_outliers, time_window_counts, range_check_events,
+    #    daily_event_windows and binary_dispatch_profile parked to the
+    #    buffer to make room — all six have green r04 rows, within the
+    #    two-round contract; streaming breadth stays in-window via
+    #    streaming_dedup_counts + streaming_drift)
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1397,6 +1398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "decontamination_overlap",
             "decontaminated_corpus_stats",
             "streaming_dedup_counts",
+            "packing_efficiency",
             "tfidf_top_terms",
         )
     },
@@ -1450,7 +1452,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionized_events": q_sessionized_events,
     "sessionized_events_split": q_sessionized_events_split,
     "segment_revenue": q_segment_revenue,
-    "binary_dispatch_profile": q_binary_dispatch_profile,
     "compacted_roundtrip_stats": q_compacted_roundtrip_stats,
     "append_log_window": q_append_log_window,
     "streaming_drift": q_streaming_drift,
@@ -1466,6 +1467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_window_counts": q_time_window_counts,
     "range_check_events": q_range_check_events,
     "daily_event_windows": q_daily_event_windows,
+    "binary_dispatch_profile": q_binary_dispatch_profile,
     "salted_source_stats": q_salted_source_stats,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "pricing_summary": q_pricing_summary,

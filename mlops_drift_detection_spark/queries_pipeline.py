@@ -887,6 +887,67 @@ def q_decontaminated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planner for a context window of L=2048 tokens, per
+    lang: dense lower bound ``ceil(total_tokens / L)`` (concat-and-chunk
+    packing), naive upper bound ``sum(ceil(tokens_i / L))`` (one doc per
+    window, padded), their ratio (packing efficiency — how much of the
+    padded-window bill dense packing saves), and the padded wasted-slot
+    fraction. The numbers a pretraining run budgets GPU-hours from.
+
+    ONE aggregation with map-side partials — both bounds are sums of
+    per-row expressions, so at 100 TB this is a single scan + one tiny
+    (lang-cardinality) exchange. ceil() is integer-exact on both engines:
+    floor((t + L - 1) / L) with token counts far below 2^53."""
+    L = 2048
+    docs = _t(spark, sf_dir, "documents")
+    t = token_count(F.col("text"))
+    per_doc_windows = F.floor((t + F.lit(L - 1)) / F.lit(L)).cast("long")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(t).alias("total_tokens"),
+        F.sum(per_doc_windows).alias("windows_padded"),
+    )
+    windows_concat = F.floor(
+        (F.col("total_tokens") + F.lit(L - 1)) / F.lit(L)
+    ).cast("long")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        windows_concat.alias("windows_concat"),
+        "windows_padded",
+        F.round(windows_concat / F.col("windows_padded"), 6).alias(
+            "packing_efficiency"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("total_tokens") / (F.col("windows_padded") * F.lit(L)),
+            6,
+        ).alias("pad_waste_frac"),
+    )
+
+
+SQL_PACKING_EFFICIENCY = f"""
+WITH per_doc AS (
+  SELECT lang, {_sql_token_count('text')} AS t FROM documents
+), agg AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS total_tokens,
+         CAST(sum((t + 2047) // 2048) AS BIGINT) AS windows_padded
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       CAST((total_tokens + 2047) // 2048 AS BIGINT) AS windows_concat,
+       windows_padded,
+       round(((total_tokens + 2047) // 2048)::DOUBLE / windows_padded, 6)
+         AS packing_efficiency,
+       round(1.0 - total_tokens::DOUBLE / (windows_padded * 2048), 6)
+         AS pad_waste_frac
+FROM agg
+"""
+
+
 def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING stateful exact-dedup (§2.9 breadth beyond the drift
     topology): documents replayed as a file stream (several part files,
@@ -1483,6 +1544,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontamination_overlap": q_decontamination_overlap,
     "decontaminated_corpus_stats": q_decontaminated_corpus_stats,
     "streaming_dedup_counts": q_streaming_dedup_counts,
+    "packing_efficiency": q_packing_efficiency,
     "tfidf_top_terms": q_tfidf_top_terms,
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
@@ -1512,6 +1574,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "decontamination_overlap": SQL_DECONTAMINATION_OVERLAP,
     "decontaminated_corpus_stats": SQL_DECONTAMINATED_CORPUS_STATS,
     "streaming_dedup_counts": SQL_STREAMING_DEDUP_COUNTS,
+    "packing_efficiency": SQL_PACKING_EFFICIENCY,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,

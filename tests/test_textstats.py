@@ -336,3 +336,25 @@ def test_decontaminated_corpus_stats_planted(spark, tmp_path):
     assert r["n_contaminated"] == 1
     assert r["n_low_quality"] == 1
     assert r["total_tokens"] == 25  # the good doc's whitespace tokens
+
+
+def test_packing_efficiency_planted(spark, tmp_path):
+    """Hand-computed packing bounds: a 3000-token doc needs 2 padded
+    windows, a 5-token doc needs 1; dense concat of 3005 tokens needs 2."""
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_packing_efficiency,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "en", "x " * 3000), (1, "en", "a b c d e")],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    r = q_packing_efficiency(spark, out).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["total_tokens"] == 3005
+    assert r["windows_concat"] == 2       # ceil(3005 / 2048)
+    assert r["windows_padded"] == 3       # ceil(3000/2048) + ceil(5/2048)
+    assert r["packing_efficiency"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["pad_waste_frac"] == pytest.approx(1 - 3005 / 6144, abs=1e-6)

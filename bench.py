@@ -78,6 +78,8 @@ EXTRAS_GROUP = [
     "decontaminated_corpus_stats",
     "streaming_dedup_counts",
     "packing_efficiency",
+    "pii_redaction_profile",
+    "sampling_mixture_weights",
     "tfidf_top_terms",
 ]
 

@@ -1386,10 +1386,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    streaming_dedup_counts and tfidf_top_terms are new in round 5;
     #    schema_align_profile,
     #    zscore_outliers, time_window_counts, range_check_events,
-    #    daily_event_windows and binary_dispatch_profile parked to the
-    #    buffer to make room — all six have green r04 rows, within the
-    #    two-round contract; streaming breadth stays in-window via
-    #    streaming_dedup_counts + streaming_drift)
+    #    daily_event_windows, binary_dispatch_profile, append_log_window
+    #    and compacted_roundtrip_stats parked to the buffer to make room —
+    #    all eight have green r04 rows, within the two-round contract;
+    #    streaming breadth stays in-window via streaming_dedup_counts +
+    #    streaming_drift)
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1399,6 +1400,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "decontaminated_corpus_stats",
             "streaming_dedup_counts",
             "packing_efficiency",
+            "pii_redaction_profile",
+            "sampling_mixture_weights",
             "tfidf_top_terms",
         )
     },
@@ -1452,8 +1455,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionized_events": q_sessionized_events,
     "sessionized_events_split": q_sessionized_events_split,
     "segment_revenue": q_segment_revenue,
-    "compacted_roundtrip_stats": q_compacted_roundtrip_stats,
-    "append_log_window": q_append_log_window,
     "streaming_drift": q_streaming_drift,
     # ------------------------------------------------------------------
     # Rotation buffer (positions 51+, outside the driver's CORRECTNESS
@@ -1463,6 +1464,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sweep.
     # ------------------------------------------------------------------
     "schema_align_profile": q_schema_align_profile,
+    "append_log_window": q_append_log_window,
+    "compacted_roundtrip_stats": q_compacted_roundtrip_stats,
     "zscore_outliers": q_zscore_outliers,
     "time_window_counts": q_time_window_counts,
     "range_check_events": q_range_check_events,

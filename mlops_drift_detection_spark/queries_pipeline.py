@@ -948,6 +948,204 @@ FROM agg
 """
 
 
+def q_sampling_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture weights — the sampling schedule a
+    multilingual pretraining run draws batches from (public literature:
+    exponentiated-share sampling, Lample & Conneau 2019 §3.1). Per lang:
+    doc/token counts, raw token share, the alpha=0.5 rescaled sampling
+    probability p_l = share^alpha / sum(share^alpha), and the resulting
+    up/down-sampling factor p_l / share (low-resource langs > 1).
+
+    alpha is pinned to 0.5 so the rescale is ``sqrt`` — IEEE-754
+    correctly-rounded on BOTH engines (JVM and DuckDB), unlike ``pow``
+    whose last ulp is libm-dependent; token counts are exact integers so
+    every input double is reproducible bit-for-bit cross-engine.
+
+    Plan: one scan -> map-side-partial agg to a lang-cardinality exchange;
+    the share normalization is a window over the 5-row aggregate (single
+    tiny partition BY CONSTRUCTION — the window input is |langs| rows, not
+    the corpus), so the 100 TB cost is identical to text_quality_profile."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("tokens") / F.sum("tokens").over(w)
+    w_alpha = F.sqrt(share)
+    p_alpha = w_alpha / F.sum(w_alpha).over(w)
+    return per.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(p_alpha, 6).alias("p_sample"),
+        F.round(p_alpha / share, 6).alias("upsample_factor"),
+    )
+
+
+SQL_SAMPLING_MIXTURE_WEIGHTS = f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum({_sql_token_count('text')}) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+), shares AS (
+  SELECT lang, n_docs, tokens,
+         tokens::DOUBLE / sum(tokens) OVER () AS share,
+         sqrt(tokens::DOUBLE / sum(tokens) OVER ()) AS w_alpha
+  FROM per
+)
+SELECT lang, n_docs, tokens,
+       round(share, 6) AS token_share,
+       round(w_alpha / sum(w_alpha) OVER (), 6) AS p_sample,
+       round((w_alpha / sum(w_alpha) OVER ()) / share, 6) AS upsample_factor
+FROM shares
+"""
+
+
+# PII patterns shared verbatim by the Spark query and the DuckDB oracle.
+# Deliberately restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+# \b word boundaries, ASCII \d. No lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction profile — the scrubbing stage every
+    training-data pipeline runs before pretraining. The synthetic corpus
+    carries no PII, so (media_real_profile-style) the query PLANTS
+    deterministic doc_id-keyed emails / NANP phones / IPv4s on overlapping
+    residue classes (doc_id % 5 / % 7 / % 11) and profiles per lang: docs
+    containing any PII, per-category match counts, the PII document rate,
+    and total characters removed by ``<EMAIL>/<PHONE>/<IP>`` redaction.
+    The oracle rebuilds the identical augmented text, so the regex
+    engines — Java on executors, RE2 in DuckDB — are checked against each
+    other on every row.
+
+    Plan (one scan): planting, matching and redaction are all per-row JVM
+    ``regexp_count``/``regexp_replace`` Column exprs inside whole-stage
+    codegen (no Python), collapsed by ONE map-side-partial aggregation to
+    a lang-cardinality exchange — the same 100 TB shape as
+    text_quality_profile. Reference scope note: the reference app has no
+    text operators; this extends the quality/curation family
+    (quality_score, decontamination) with the redaction stage."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" contact user"), ds, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(PII_PHONE_RE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(PII_IPV4_RE),
+        F.lit("<IP>"),
+    )
+    per = docs.select(
+        "lang",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).alias("e"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).alias("p"),
+        F.regexp_count(aug, F.lit(PII_IPV4_RE)).alias("i"),
+        (F.length(aug) - F.length(redacted)).alias("dc"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
+        ).alias("docs_with_pii"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("i").alias("n_ipv4s"),
+        F.round(
+            F.sum(
+                F.when(F.col("e") + F.col("p") + F.col("i") > 0, 1).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pii_doc_rate"),
+        F.sum("dc").alias("chars_redacted"),
+    )
+
+
+SQL_PII_REDACTION_PROFILE = (
+    """
+WITH aug AS (
+  SELECT lang,
+         text
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                ELSE '' END
+           AS t
+  FROM documents
+), per AS (
+  SELECT lang,
+         len(regexp_extract_all(t, '"""
+    + PII_EMAIL_RE
+    + """')) AS e,
+         len(regexp_extract_all(t, '"""
+    + PII_PHONE_RE
+    + """')) AS p,
+         len(regexp_extract_all(t, '"""
+    + PII_IPV4_RE
+    + """')) AS i,
+         length(t) - length(
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '"""
+    + PII_EMAIL_RE
+    + """', '<EMAIL>', 'g'),
+             '"""
+    + PII_PHONE_RE
+    + """', '<PHONE>', 'g'),
+             '"""
+    + PII_IPV4_RE
+    + """', '<IP>', 'g')) AS dc
+  FROM aug
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(i) AS BIGINT) AS n_ipv4s,
+       round(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS pii_doc_rate,
+       CAST(sum(dc) AS BIGINT) AS chars_redacted
+FROM per GROUP BY lang
+"""
+)
+
+
 def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING stateful exact-dedup (§2.9 breadth beyond the drift
     topology): documents replayed as a file stream (several part files,
@@ -1545,6 +1743,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminated_corpus_stats": q_decontaminated_corpus_stats,
     "streaming_dedup_counts": q_streaming_dedup_counts,
     "packing_efficiency": q_packing_efficiency,
+    "pii_redaction_profile": q_pii_redaction_profile,
+    "sampling_mixture_weights": q_sampling_mixture_weights,
     "tfidf_top_terms": q_tfidf_top_terms,
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
@@ -1575,6 +1775,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "decontaminated_corpus_stats": SQL_DECONTAMINATED_CORPUS_STATS,
     "streaming_dedup_counts": SQL_STREAMING_DEDUP_COUNTS,
     "packing_efficiency": SQL_PACKING_EFFICIENCY,
+    "pii_redaction_profile": SQL_PII_REDACTION_PROFILE,
+    "sampling_mixture_weights": SQL_SAMPLING_MIXTURE_WEIGHTS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,

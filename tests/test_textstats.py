@@ -358,3 +358,60 @@ def test_packing_efficiency_planted(spark, tmp_path):
     assert r["windows_padded"] == 3       # ceil(3000/2048) + ceil(5/2048)
     assert r["packing_efficiency"] == pytest.approx(2 / 3, abs=1e-6)
     assert r["pad_waste_frac"] == pytest.approx(1 - 3005 / 6144, abs=1e-6)
+
+
+def test_pii_redaction_profile_planted(spark, tmp_path):
+    """Hand-computed PII profile. doc 0 (0 % 5/7/11 all zero) gets all
+    three planted categories; doc 35 (% 5 and % 7) gets email + phone;
+    doc 1 carries an ORGANIC email in its text (detector must fire without
+    planting); doc 2 is clean. chars_redacted is the summed length delta
+    of <EMAIL>/<PHONE>/<IP> substitution."""
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_pii_redaction_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "hello"),
+            (1, "en", "write to alice@corp.io today"),
+            (2, "en", "nothing here"),
+            (35, "en", "hello world"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    r = q_pii_redaction_profile(spark, out).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["docs_with_pii"] == 3
+    assert r["n_emails"] == 3   # user0@, organic alice@, user35@
+    assert r["n_phones"] == 2   # 555-000-0000, 555-035-0035
+    assert r["n_ipv4s"] == 1    # 10.0.0.7
+    assert r["pii_doc_rate"] == pytest.approx(0.75, abs=1e-9)
+    # doc0: email 17->7 (-10) + phone 12->7 (-5) + ip 8->4 (-4) = 19
+    # doc1: alice@corp.io 13->7 (-6) = 6
+    # doc35: user35@example.com 18->7 (-11) + phone 12->7 (-5) = 16
+    assert r["chars_redacted"] == 19 + 6 + 16
+
+
+def test_sampling_mixture_weights_planted(spark, tmp_path):
+    """Hand-computed alpha=0.5 mixture: tokens en=9, de=1 -> shares
+    0.9/0.1, w = (3, 1)/sqrt(10), p = (0.75, 0.25); the low-resource lang
+    is upsampled 2.5x, the high-resource one downsampled to 5/6."""
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_sampling_mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "en", "t " * 9), (1, "de", "t")],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = {r["lang"]: r for r in q_sampling_mixture_weights(spark, out).collect()}
+    assert rows["en"]["tokens"] == 9 and rows["de"]["tokens"] == 1
+    assert rows["en"]["token_share"] == pytest.approx(0.9, abs=1e-6)
+    assert rows["en"]["p_sample"] == pytest.approx(0.75, abs=1e-6)
+    assert rows["de"]["p_sample"] == pytest.approx(0.25, abs=1e-6)
+    assert rows["de"]["upsample_factor"] == pytest.approx(2.5, abs=1e-6)
+    assert rows["en"]["upsample_factor"] == pytest.approx(0.75 / 0.9, abs=1e-6)

@@ -102,6 +102,19 @@ EXPECTED: dict[str, dict] = {
         "wgl": True,
         "contains": ["BroadcastHashJoin LeftOuter"],
     },
+    # r5: both are one-scan map-side-partial profiles — a second scan or a
+    # second exchange means the per-row expression tree stopped collapsing
+    "packing_efficiency": {"scans": 1, "exch": 1},
+    # planting + regexp_count/replace must stay JVM Column exprs: a
+    # BatchEvalPython here would put 3 regexes/row on the Python path
+    "pii_redaction_profile": {
+        "scans": 1,
+        "exch": 1,
+        "not_contains": ["BatchEvalPython", "ArrowEvalPython"],
+    },
+    # normalization windows run over the lang-cardinality aggregate: one
+    # corpus exchange + the single-partition window exchange, nothing else
+    "sampling_mixture_weights": {"scans": 1, "exch": 2},
 }
 
 AUDITED = list(EXPECTED)

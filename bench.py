@@ -80,6 +80,8 @@ EXTRAS_GROUP = [
     "packing_efficiency",
     "pii_redaction_profile",
     "sampling_mixture_weights",
+    "unigram_perplexity_profile",
+    "cross_source_dup_rate",
     "tfidf_top_terms",
 ]
 

@@ -1402,6 +1402,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "packing_efficiency",
             "pii_redaction_profile",
             "sampling_mixture_weights",
+            "unigram_perplexity_profile",
+            "cross_source_dup_rate",
             "tfidf_top_terms",
         )
     },
@@ -1442,10 +1444,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         )
     },
     **MULTI_DRIFT_QUERIES,
-    # -- core drift/validation surface (green r04)
+    # -- core drift/validation surface (green r04; psi_nchars_split and
+    #    ks_nchars_split parked to the buffer to make room for the two
+    #    late-r5 entries — the split-PSI/KS family stays in-window via
+    #    psi_lang_split + drift_verdicts + multi_feature_drift)
     "psi_lang_split": q_psi_lang_split,
-    "psi_nchars_split": q_psi_nchars_split,
-    "ks_nchars_split": q_ks_nchars_split,
     "drift_verdicts": q_drift_verdicts,
     "uniqueness_events": q_uniqueness_events,
     "referential_orders": q_referential_orders,
@@ -1464,6 +1467,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sweep.
     # ------------------------------------------------------------------
     "schema_align_profile": q_schema_align_profile,
+    "psi_nchars_split": q_psi_nchars_split,
+    "ks_nchars_split": q_ks_nchars_split,
     "append_log_window": q_append_log_window,
     "compacted_roundtrip_stats": q_compacted_roundtrip_stats,
     "zscore_outliers": q_zscore_outliers,

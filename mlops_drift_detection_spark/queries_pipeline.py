@@ -1146,6 +1146,163 @@ FROM per GROUP BY lang
 )
 
 
+def q_unigram_perplexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy quality filter (CCNet-style, Wenzek et al.
+    2020 — public literature; CCNet scores docs with a KenLM 5-gram, the
+    unigram variant keeps the same filter semantics SQL-expressible).
+    The LM is trained on the corpus itself: p(t) = ctf(t) / T over ALL
+    tokens, so no smoothing is needed (every scored token has count >= 1).
+    Per doc: cross-entropy H = -(1/n) * sum_t tf_t * ln(ctf_t / T); docs
+    with H above the global mean are flagged (the data-derived analogue of
+    CCNet's per-lang perplexity cutoff — no magic constant, so the oracle
+    reproduces it exactly). Empty docs are unscored and excluded.
+
+    Plan (ONE scan): explode tokens -> groupBy (doc_id, lang, term) — the
+    first shuffle distributes a mega-doc's tokens across tasks — then the
+    term-count LM is RE-AGGREGATED from that result (no second scan);
+    T and the global mean come back as broadcast 1-row aggregates (the
+    repo-standard scalar crossJoin). The per-term join keys on `term`
+    (vocab-cardinality, AQE-sized); full docs never collide on one task.
+    ln inputs are exact-integer ratios cast to double on BOTH engines, so
+    the libm inputs are bit-identical cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", "lang", F.explode(tokens_array(F.col("text"))).alias("term")
+    )
+    # explode(split(..)) never yields NULL terms, so this filter is a
+    # semantic no-op — but the join on `term` pushes isnotnull(term) into
+    # ITS branch of the doc-term aggregate only, which breaks canonical
+    # plan equality and defeats ReuseExchange (second corpus scan,
+    # measured). Filtering HERE puts the same filter in every branch:
+    # one FileScan + ReusedExchange at runtime (pytest-locked).
+    pdt = (
+        exploded.where(F.col("term").isNotNull())
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tc = pdt.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    # T from tc (== sum of all tf exactly — integers): deriving it from
+    # pdt instead LOOKS cheaper but column pruning then rewrites that
+    # branch's doc-term aggregate so it no longer canonicalizes equal to
+    # the main one, defeating ReuseExchange and forcing a SECOND corpus
+    # scan (measured). Via tc every branch rides the reused exchanges:
+    # exactly one FileScan in the executed plan (pytest-locked).
+    tot = tc.agg(F.sum("ctf").cast("double").alias("t_total"))
+    per_doc = (
+        pdt.join(tc, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            (
+                -F.sum(
+                    F.col("tf")
+                    * F.log(F.col("ctf").cast("double") / F.col("t_total"))
+                )
+                / F.sum("tf")
+            ).alias("xent"),
+        )
+    )
+    gmean = per_doc.agg(F.avg("xent").alias("mean_xent"))
+    return (
+        per_doc.crossJoin(F.broadcast(gmean))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_scored"),
+            F.round(F.avg("n_toks"), 6).alias("avg_doc_tokens"),
+            F.round(F.avg("xent"), 6).alias("avg_xent"),
+            F.sum(
+                F.when(F.col("xent") > F.col("mean_xent"), 1).otherwise(0)
+            ).alias("n_above_mean"),
+        )
+    )
+
+
+SQL_UNIGRAM_PERPLEXITY_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_GOPHER_TOKS} AS t FROM documents
+), exploded AS (
+  SELECT doc_id, lang, unnest(t) AS term FROM base
+), pdt AS (
+  SELECT doc_id, lang, term, count(*) AS tf FROM exploded GROUP BY ALL
+), tc AS (
+  SELECT term, sum(tf) AS ctf FROM pdt GROUP BY term
+), tot AS (
+  SELECT sum(ctf)::DOUBLE AS t_total FROM tc
+), per_doc AS (
+  SELECT doc_id, lang, sum(tf) AS n_toks,
+         -sum(tf * ln(ctf::DOUBLE / t_total)) / sum(tf) AS xent
+  FROM pdt JOIN tc USING (term), tot
+  GROUP BY doc_id, lang
+), gm AS (
+  SELECT avg(xent) AS mean_xent FROM per_doc
+)
+SELECT lang,
+       count(*) AS n_docs_scored,
+       round(avg(n_toks), 6) AS avg_doc_tokens,
+       round(avg(xent), 6) AS avg_xent,
+       CAST(sum(CASE WHEN xent > mean_xent THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_mean
+FROM per_doc, gm GROUP BY lang
+"""
+
+
+def q_cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate audit — the leakage check a multi-crawl
+    training mix needs before source-level mixture weighting: per source,
+    how many docs share their exact bag-of-words fingerprint with at least
+    one OTHER source (the content both crawls captured), and the rate.
+
+    Plan (ONE scan, no doc pairs ever materialized): groupBy
+    (fp, source) -> per-pair doc counts (first shuffle, map-side partial);
+    the number of distinct sources per fp is a window over THAT aggregate
+    (rows = distinct (fp, source) pairs, not docs — second, smaller
+    exchange on fp); final source-cardinality rollup. A fingerprint shared
+    by millions of docs contributes ONE row per source past the first
+    aggregation, so hot fingerprints cannot skew the window stage."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pfs = (
+        docs.select(
+            wordset_fingerprint(F.col("text")).alias("fp"), F.col("source")
+        )
+        .groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nsrc = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    flagged = pfs.withColumn("nsrc", nsrc)
+    return flagged.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("nsrc") > 1, F.col("n")).otherwise(0)).alias(
+            "n_cross_dup"
+        ),
+        F.round(
+            F.sum(F.when(F.col("nsrc") > 1, F.col("n")).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("cross_dup_rate"),
+    )
+
+
+SQL_CROSS_SOURCE_DUP_RATE = r"""
+WITH pfs AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)),'\s+'))),' ')) AS fp,
+         source, count(*) AS n
+  FROM documents GROUP BY fp, source
+), flagged AS (
+  SELECT source, n, count(*) OVER (PARTITION BY fp) AS nsrc FROM pfs
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN nsrc > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS n_cross_dup,
+       round(sum(CASE WHEN nsrc > 1 THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+         AS cross_dup_rate
+FROM flagged GROUP BY source
+"""
+
+
 def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING stateful exact-dedup (§2.9 breadth beyond the drift
     topology): documents replayed as a file stream (several part files,
@@ -1745,6 +1902,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packing_efficiency": q_packing_efficiency,
     "pii_redaction_profile": q_pii_redaction_profile,
     "sampling_mixture_weights": q_sampling_mixture_weights,
+    "unigram_perplexity_profile": q_unigram_perplexity_profile,
+    "cross_source_dup_rate": q_cross_source_dup_rate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
@@ -1777,6 +1936,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "packing_efficiency": SQL_PACKING_EFFICIENCY,
     "pii_redaction_profile": SQL_PII_REDACTION_PROFILE,
     "sampling_mixture_weights": SQL_SAMPLING_MIXTURE_WEIGHTS,
+    "unigram_perplexity_profile": SQL_UNIGRAM_PERPLEXITY_PROFILE,
+    "cross_source_dup_rate": SQL_CROSS_SOURCE_DUP_RATE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,

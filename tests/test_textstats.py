@@ -415,3 +415,82 @@ def test_sampling_mixture_weights_planted(spark, tmp_path):
     assert rows["de"]["p_sample"] == pytest.approx(0.25, abs=1e-6)
     assert rows["de"]["upsample_factor"] == pytest.approx(2.5, abs=1e-6)
     assert rows["en"]["upsample_factor"] == pytest.approx(0.75 / 0.9, abs=1e-6)
+
+
+def test_unigram_perplexity_planted(spark, tmp_path):
+    """Hand-computed unigram-LM cross-entropies. Corpus counts a:3 b:2 c:1
+    (T=6), so p(a)=1/2, p(b)=1/3, p(c)=1/6. doc0 'a a b':
+    H=(2 ln2 + ln3)/3; doc1 'a b': H=(ln2+ln3)/2; doc2 'c': H=ln6;
+    doc3 is empty -> unscored. Global mean ~1.17198: only doc2 exceeds
+    it, so en flags 0 and de flags 1."""
+    import math
+
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_unigram_perplexity_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a a b"), (1, "en", "a b"), (2, "de", "c"), (3, "en", "")],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = {
+        r["lang"]: r
+        for r in q_unigram_perplexity_profile(spark, out).collect()
+    }
+    h0 = (2 * math.log(2) + math.log(3)) / 3
+    h1 = (math.log(2) + math.log(3)) / 2
+    assert rows["en"]["n_docs_scored"] == 2      # empty doc3 unscored
+    assert rows["en"]["avg_doc_tokens"] == pytest.approx(2.5, abs=1e-9)
+    assert rows["en"]["avg_xent"] == pytest.approx((h0 + h1) / 2, abs=1e-6)
+    assert rows["en"]["n_above_mean"] == 0
+    assert rows["de"]["n_docs_scored"] == 1
+    assert rows["de"]["avg_xent"] == pytest.approx(math.log(6), abs=1e-6)
+    assert rows["de"]["n_above_mean"] == 1
+
+
+def test_unigram_perplexity_single_scan(spark):
+    """The formatted (pre-AQE) tree repeats the doc-term subtree under the
+    scalar branches (6 Scan nodes — locked in tools/explain_audit.py); at
+    RUNTIME ReuseExchange must collapse them to exactly ONE FileScan. This
+    is the falsifiable form of the docstring's one-scan claim."""
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_unigram_perplexity_profile,
+    )
+
+    df = q_unigram_perplexity_profile(spark, "/root/testdata/sf0.001")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "ReusedExchange" in final
+
+
+def test_cross_source_dup_rate_planted(spark, tmp_path):
+    """Hand-computed cross-source audit: 'a b' and 'b a' share a wordset
+    fingerprint across s1/s2 (and a second s2 copy), 'c'/'d' are unique.
+    s1: 1 of 2 docs cross-duplicated; s2: 2 of 3."""
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_cross_source_dup_rate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "a b", "s1"),
+            (1, "en", "c", "s1"),
+            (2, "en", "b a", "s2"),
+            (3, "en", "d", "s2"),
+            (4, "en", "a b", "s2"),
+        ],
+        "doc_id long, lang string, text string, source string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = {r["source"]: r for r in q_cross_source_dup_rate(spark, out).collect()}
+    assert rows["s1"]["n_docs"] == 2
+    assert rows["s1"]["n_cross_dup"] == 1
+    assert rows["s1"]["cross_dup_rate"] == pytest.approx(0.5, abs=1e-9)
+    assert rows["s2"]["n_docs"] == 3
+    assert rows["s2"]["n_cross_dup"] == 2
+    assert rows["s2"]["cross_dup_rate"] == pytest.approx(2 / 3, abs=1e-6)

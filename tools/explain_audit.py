@@ -115,6 +115,15 @@ EXPECTED: dict[str, dict] = {
     # normalization windows run over the lang-cardinality aggregate: one
     # corpus exchange + the single-partition window exchange, nothing else
     "sampling_mixture_weights": {"scans": 1, "exch": 2},
+    # formatted counts are PRE-reuse: the un-adapted tree repeats the
+    # doc-term aggregate subtree under every scalar branch (2 per_doc x
+    # 3 pdt). At runtime ReuseExchange collapses it to ONE FileScan +
+    # ReusedExchange — asserted on the executed plan in
+    # tests/test_textstats.py::test_unigram_perplexity_single_scan
+    "unigram_perplexity_profile": {"scans": 6, "exch": 21, "bnlj": True},
+    # never materializes doc pairs: (fp,source) agg -> fp window -> source
+    # rollup, three exchanges over strictly shrinking aggregates
+    "cross_source_dup_rate": {"scans": 1, "exch": 3},
 }
 
 AUDITED = list(EXPECTED)

@@ -1118,6 +1118,65 @@ SELECT event_type, count(*) AS n FROM events, c WHERE ts >= cutoff GROUP BY even
 """
 
 
+# Fixture scale for q_code_validation_counts: fixed (NOT sf-scaled) so the
+# planted-parameter oracle constants below stay literal. 20k rows keeps the
+# Arrow content synthesis + three-traversal violations pass to a few seconds
+# in the driver gate while exercising every rule on >0 planted rows.
+_CODE_VALIDATION_N_ROWS = 20_000
+
+
+def q_code_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule flagship — ``ValidationSuite.violations`` over the
+    (repo, path, commit, lang, content) code_files table — through the
+    DRIVER-CHECKED catalog (until now it had pytest signal only).
+
+    The fixture is generated deterministically (seed 42, FIXTURES.md spec:
+    Zipf repo skew with a planted mega-repo, exact planted violation rates)
+    independent of ``sf_dir``, media_real_profile-style: the DuckDB oracle
+    is the fixture's closed-form planted-parameter arithmetic
+    (``datagen.expected_violation_counts``). The suite path exercised is the
+    real one: uniqueness on (part_id, repo, path, commit) via key-shuffle
+    groupBy, referential commit->dim LEFT ANTI with broadcast dim keys, and
+    ALL row rules (not_null, not_empty, length range, commit regex, sha256
+    per-row invariant) FUSED into one scan. Planted expectations: each
+    duplicate triple is distinct (path embeds the row id) so uniqueness
+    emits exactly n*DUP_RATE rows; dangling commits are 40-hex so
+    commit_format stays zero; sha256 recompute matches everywhere. The
+    reference's analogues: schema/violation checks in
+    src/monitoring/data_validator.py and the drift gate in
+    src/monitoring/drift_detector.py."""
+    from mlops_drift_detection_spark.datagen import (
+        CodeFilesSpec,
+        generate_code_files,
+        generate_commits,
+    )
+    from mlops_drift_detection_spark.plans.suite import SuiteConfig, ValidationSuite
+
+    spec = CodeFilesSpec(n_rows=_CODE_VALIDATION_N_ROWS, n_repos=100, n_commits=2_000)
+    commits = generate_commits(spark, spec)
+    cf = generate_code_files(spark, spec, commits)
+    suite = ValidationSuite(
+        ValidationSuite.compute_baseline_snapshot(cf), SuiteConfig()
+    )
+    v = suite.violations(suite.with_partition(cf), commits)
+    return v.groupBy("check", "column").agg(F.count(F.lit(1)).alias("n"))
+
+
+# Planted-parameter oracle: datagen.expected_violation_counts arithmetic at
+# n=20_000 — duplicates = n*0.003, dangling = n*0.005, null-lang rows
+# (= empty content = below min length) = n*0.002; commit_format and
+# sha256_invariant plant zero violations so those checks emit no rows.
+SQL_CODE_VALIDATION_COUNTS = """
+SELECT * FROM (VALUES
+  ('uniqueness', 'repo,path,commit', CAST(60 AS BIGINT)),
+  ('referential', 'commit', CAST(100 AS BIGINT)),
+  ('not_null', 'lang', CAST(40 AS BIGINT)),
+  ('not_empty', 'content', CAST(40 AS BIGINT)),
+  ('range', 'content_length', CAST(40 AS BIGINT))
+) AS t("check", "column", n)
+"""
+
+
 def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 streaming surface through the DRIVER-CHECKED catalog: documents
     replayed as a file-source stream (one micro-batch per source's file,
@@ -1391,6 +1450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    all eight have green r04 rows, within the two-round contract;
     #    streaming breadth stays in-window via streaming_dedup_counts +
     #    streaming_drift)
+    "code_validation_counts": q_code_validation_counts,
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1457,15 +1517,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join_error_windows": q_interval_join_error_windows,
     "sessionized_events": q_sessionized_events,
     "sessionized_events_split": q_sessionized_events_split,
-    "segment_revenue": q_segment_revenue,
     "streaming_drift": q_streaming_drift,
     # ------------------------------------------------------------------
     # Rotation buffer (positions 51+, outside the driver's CORRECTNESS
     # window this round). Every entry below has a GREEN r04 driver row, so
     # its most recent row is exactly one round old at end of r05 — within
     # the two-round contract above. All remain in the pytest oracle-parity
-    # sweep.
+    # sweep. (segment_revenue parked late-r5 to make room for the
+    # never-checked code_validation_counts at the head of the window.)
     # ------------------------------------------------------------------
+    "segment_revenue": q_segment_revenue,
     "schema_align_profile": q_schema_align_profile,
     "psi_nchars_split": q_psi_nchars_split,
     "ks_nchars_split": q_ks_nchars_split,
@@ -1540,6 +1601,7 @@ ORACLES: dict[str, str] = {
     "salted_source_stats": SQL_SALTED_SOURCE_STATS,
     "hll_distinct_check": SQL_HLL_DISTINCT_CHECK,
     "column_profile": SQL_COLUMN_PROFILE,
+    "code_validation_counts": SQL_CODE_VALIDATION_COUNTS,
     **MULTI_DRIFT_ORACLES,
     **PIPELINE_ORACLES,
 }

@@ -83,6 +83,7 @@ EXTRAS_GROUP = [
     "unigram_perplexity_profile",
     "cross_source_dup_rate",
     "tfidf_top_terms",
+    "code_validation_counts",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

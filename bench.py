@@ -84,6 +84,7 @@ EXTRAS_GROUP = [
     "cross_source_dup_rate",
     "tfidf_top_terms",
     "code_validation_counts",
+    "stack_filter_profile",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -1456,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         for k in (
             "media_real_profile",
             "gopher_repetition_profile",
+            "stack_filter_profile",
             "decontamination_overlap",
             "decontaminated_corpus_stats",
             "streaming_dedup_counts",
@@ -1512,7 +1513,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_verdicts": q_drift_verdicts,
     "uniqueness_events": q_uniqueness_events,
     "referential_orders": q_referential_orders,
-    "asof_join_events": q_asof_join_events,
     "asof_join_events_split": q_asof_join_events_split,
     "interval_join_error_windows": q_interval_join_error_windows,
     "sessionized_events": q_sessionized_events,
@@ -1523,10 +1523,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window this round). Every entry below has a GREEN r04 driver row, so
     # its most recent row is exactly one round old at end of r05 — within
     # the two-round contract above. All remain in the pytest oracle-parity
-    # sweep. (segment_revenue parked late-r5 to make room for the
-    # never-checked code_validation_counts at the head of the window.)
+    # sweep. (segment_revenue and asof_join_events parked late-r5 to make
+    # room for the never-checked code_validation_counts and
+    # stack_filter_profile at the head of the window; as-of semantics stay
+    # driver-checked via asof_join_events_split, which shares the same
+    # DuckDB ASOF oracle.)
     # ------------------------------------------------------------------
     "segment_revenue": q_segment_revenue,
+    "asof_join_events": q_asof_join_events,
     "schema_align_profile": q_schema_align_profile,
     "psi_nchars_split": q_psi_nchars_split,
     "ks_nchars_split": q_ks_nchars_split,

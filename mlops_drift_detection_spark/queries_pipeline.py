@@ -670,6 +670,86 @@ FROM metrics GROUP BY lang
 """
 
 
+def q_stack_filter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The-Stack/StarCoder-style character-class source filters (Kocetkov
+    et al. 2022 "The Stack"; Li et al. 2023 "StarCoder" — public
+    literature), per lang: alphanumeric-character fraction, average and
+    longest word length, and how many docs fail the code-quality gate.
+    The synthetic corpus is single-line, so the published LINE-length
+    filters map to their word-level analogs, with thresholds tuned so the
+    gate is non-degenerate on this corpus (alnum_frac < 0.82 OR a word of
+    >= 8 chars — the published absolute thresholds would pass everything).
+
+    Plan (one scan, gopher-profile shape): per-row char-class fraction is a
+    pure Column expression; word-length stats go explode ->
+    HashAggregate((doc_id, lang)) -> HashAggregate(lang) rather than a
+    per-row higher-order lambda — HOF lambdas are CodegenFallback
+    (interpreted per-row, measured 4-5x slower in BENCH.md r5 A/Bs), and
+    the explode shape also distributes a single 10^9-token doc across
+    tasks instead of computing its max in one row. The fraction rides the
+    doc rollup as a numeric ``first`` buffer (stays HashAggregate; a string
+    buffer would demote to SortAggregate). Reference scope note: no
+    counterpart in the reference app; extends the quality-filter family for
+    the code payload."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    alnum_frac = (
+        F.when(
+            F.length(c) > 0,
+            F.length(F.regexp_replace(c, "[^a-zA-Z0-9]", ""))
+            / F.length(c).cast("double"),
+        ).otherwise(F.lit(0.0))
+    )
+    per_row = docs.select(
+        "doc_id",
+        "lang",
+        alnum_frac.alias("alnum_frac"),
+        F.explode_outer(tokens_array(c)).alias("tok"),
+    )
+    per_doc = per_row.groupBy("doc_id", "lang").agg(
+        F.first("alnum_frac").alias("alnum_frac"),
+        F.coalesce(F.max(F.length("tok")), F.lit(0)).alias("max_wlen"),
+        F.coalesce(F.avg(F.length("tok")), F.lit(0.0)).alias("avg_wlen"),
+    )
+    fails = (F.col("alnum_frac") < 0.82) | (F.col("max_wlen") >= 8)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("alnum_frac"), 6).alias("avg_alnum_frac"),
+        F.round(F.avg("max_wlen"), 6).alias("avg_max_word_len"),
+        F.round(F.avg("avg_wlen"), 6).alias("avg_word_len"),
+        F.sum(fails.cast("int")).alias("n_fail_gate"),
+    )
+
+
+SQL_STACK_FILTER_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+              / length(text)
+         ELSE 0.0 END AS alnum_frac,
+    {_SQL_GOPHER_TOKS} AS t
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, lang, alnum_frac,
+    CASE WHEN len(t) > 0
+         THEN list_max(list_transform(t, w -> length(w)))
+         ELSE 0 END AS max_wlen,
+    CASE WHEN len(t) > 0
+         THEN list_aggregate(list_transform(t, w -> length(w)), 'avg')
+         ELSE 0.0 END AS avg_wlen
+  FROM base
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(alnum_frac), 6) AS avg_alnum_frac,
+       round(avg(max_wlen), 6) AS avg_max_word_len,
+       round(avg(avg_wlen), 6) AS avg_word_len,
+       CAST(sum(CASE WHEN alnum_frac < 0.82 OR max_wlen >= 8
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_gate
+FROM per_doc GROUP BY lang
+"""
+
+
 def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data decontamination (the GPT-3 appendix-C / PaLM protocol —
     public literature): flag corpus docs sharing any 8-token n-gram with a
@@ -1896,6 +1976,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "text_quality_profile": q_text_quality_profile,
     "gopher_repetition_profile": q_gopher_repetition_profile,
+    "stack_filter_profile": q_stack_filter_profile,
     "decontamination_overlap": q_decontamination_overlap,
     "decontaminated_corpus_stats": q_decontaminated_corpus_stats,
     "streaming_dedup_counts": q_streaming_dedup_counts,
@@ -1930,6 +2011,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
     "text_quality_profile": SQL_TEXT_QUALITY_PROFILE,
     "gopher_repetition_profile": SQL_GOPHER_REPETITION_PROFILE,
+    "stack_filter_profile": SQL_STACK_FILTER_PROFILE,
     "decontamination_overlap": SQL_DECONTAMINATION_OVERLAP,
     "decontaminated_corpus_stats": SQL_DECONTAMINATED_CORPUS_STATS,
     "streaming_dedup_counts": SQL_STREAMING_DEDUP_COUNTS,

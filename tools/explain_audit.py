@@ -124,6 +124,24 @@ EXPECTED: dict[str, dict] = {
     # never materializes doc pairs: (fp,source) agg -> fp window -> source
     # rollup, three exchanges over strictly shrinking aggregates
     "cross_source_dup_rate": {"scans": 1, "exch": 3},
+    # r5: one scan -> Generate -> HashAggregate((doc_id,lang)) ->
+    # HashAggregate(lang); the numeric first() buffer must not demote the
+    # doc rollup to SortAggregate (a full sort of the exploded token stream)
+    "stack_filter_profile": {
+        "scans": 1,
+        "exch": 2,
+        "not_contains": ["SortAggregate"],
+    },
+    # r5 north-rule flagship: in-memory fixture (0 parquet scans), the
+    # referential check must be a broadcast anti-join, and no row-at-a-time
+    # Python may appear — ArrowEvalPython IS expected (the fixture's
+    # Arrow-batched content synthesis), BatchEvalPython is not
+    "code_validation_counts": {
+        "scans": 0,
+        "exch": 6,
+        "contains": ["BroadcastHashJoin LeftAnti"],
+        "not_contains": ["BatchEvalPython"],
+    },
 }
 
 AUDITED = list(EXPECTED)

@@ -292,3 +292,35 @@ def test_sink_read_excludes_stale_partitions(data, tmp_path):
     assert viparts <= {"0", "1", "2", "3"}
     # exactly one verdict run_id: nothing resumed in from the 8-bucket run
     assert res.verdicts.select("run_id").distinct().count() == 1
+
+
+def test_code_validation_oracle_constants_track_fixture_arithmetic():
+    """The catalog entry `code_validation_counts` compares the suite's
+    violation counts against LITERAL constants in its DuckDB oracle
+    (planted-parameter oracle). This test re-derives those constants from
+    `expected_violation_counts` at the query's pinned fixture size, so
+    changing _CODE_VALIDATION_N_ROWS (or the planted rates) without
+    updating the SQL fails HERE, not in the driver gate."""
+    import re
+
+    from mlops_drift_detection_spark.queries import (
+        _CODE_VALIDATION_N_ROWS,
+        SQL_CODE_VALIDATION_COUNTS,
+    )
+
+    exp = expected_violation_counts(CodeFilesSpec(n_rows=_CODE_VALIDATION_N_ROWS))
+    want = {
+        "uniqueness": exp["duplicates"],
+        "referential": exp["dangling"],
+        "not_null": exp["null_lang"],
+        "not_empty": exp["null_lang"],
+        "range": exp["null_lang"],
+    }
+    got = {
+        check: int(n)
+        for check, n in re.findall(
+            r"\('(\w+)',\s*'[^']*',\s*CAST\((\d+) AS BIGINT\)\)",
+            SQL_CODE_VALIDATION_COUNTS,
+        )
+    }
+    assert got == want

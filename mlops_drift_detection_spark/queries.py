@@ -1142,9 +1142,10 @@ def q_code_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate triple is distinct (path embeds the row id) so uniqueness
     emits exactly n*DUP_RATE rows; dangling commits are 40-hex so
     commit_format stays zero; sha256 recompute matches everywhere. The
-    reference's analogues: schema/violation checks in
-    src/monitoring/data_validator.py and the drift gate in
-    src/monitoring/drift_detector.py."""
+    reference's analogues: per-request schema validation in
+    src/api/schemas.py:10-92 (pydantic field constraints) and the drift
+    gate in src/monitoring/drift_detector.py, generalized per the
+    north-rule into a batch constraint suite."""
     from mlops_drift_detection_spark.datagen import (
         CodeFilesSpec,
         generate_code_files,

@@ -85,6 +85,8 @@ EXTRAS_GROUP = [
     "tfidf_top_terms",
     "code_validation_counts",
     "stack_filter_profile",
+    "wasserstein_nchars_split",
+    "chisq_lang_split",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -188,3 +188,83 @@ def ks_expr(expected_counts: Column, actual_counts: Column) -> Column:
         .otherwise(ks)
         .cast("double")
     )
+
+
+def wasserstein_from_counts(
+    expected_counts: Sequence[float],
+    actual_counts: Sequence[float],
+    widths: Sequence[float],
+) -> float:
+    """NumPy twin of :func:`wasserstein_expr` (test oracle): binned W1 =
+    sum_i |CDF_e(i) - CDF_a(i)| * width_i; either side empty -> 0.0."""
+    expected = np.asarray(expected_counts, dtype=float)
+    actual = np.asarray(actual_counts, dtype=float)
+    if expected.sum() == 0 or actual.sum() == 0:
+        return 0.0
+    e_cdf = np.cumsum(expected) / expected.sum()
+    a_cdf = np.cumsum(actual) / actual.sum()
+    return float(np.sum(np.abs(e_cdf - a_cdf) * np.asarray(widths, dtype=float)))
+
+def wasserstein_expr(
+    expected_counts: Column, actual_counts: Column, widths: Sequence[float]
+) -> Column:
+    """Binned 1-D Wasserstein-1 (earth mover's) distance over two
+    ``array<double>`` count columns — the third drift metric alongside PSI
+    and KS (Ramdas et al. 2017 give the CDF identity: for 1-D
+    distributions, W1 = integral of |CDF_e − CDF_a|, which on a fixed
+    binning discretizes to sum_i |CDF_e(i) − CDF_a(i)| * width_i — public
+    literature).
+
+    Unlike PSI (which saturates once mass moves anywhere) and KS (max
+    single deviation), W1 weighs HOW FAR mass moved in the value domain,
+    so a shift from bin 0 to bin 6 scores ~6x a shift to bin 1 — the
+    metric a content-length drift monitor wants. Same JVM-side shape as
+    :func:`ks_expr` (running-sum CDFs via ``aggregate`` + ``zip_with``
+    over bin-count arrays, per-row over ALREADY-MERGED histograms — these
+    HOFs run once per group over ~10-element arrays, not per input row,
+    so CodegenFallback cost is nil here); the same degenerate-input rule
+    (either side empty/mismatched -> 0.0) keeps verdict plumbing shared.
+    ``widths`` are the static bin widths from the histogram edges; the
+    open tail bin reuses the last finite width.
+    """
+    e = F.transform(expected_counts, lambda x: x.cast("double"))
+    a = F.transform(actual_counts, lambda x: x.cast("double"))
+    e_sum = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
+    a_sum = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _cdf(arr: Column, total: Column) -> Column:
+        safe_total = F.when(total == F.lit(0.0), F.lit(1.0)).otherwise(total)
+        return F.aggregate(
+            arr,
+            F.struct(
+                F.lit(0.0).alias("run"),
+                F.array().cast("array<double>").alias("cdf"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["run"] + x).alias("run"),
+                F.concat(
+                    acc["cdf"], F.array((acc["run"] + x) / safe_total)
+                ).alias("cdf"),
+            ),
+            lambda acc: acc["cdf"],
+        )
+
+    w_arr = F.array(*[F.lit(float(w)) for w in widths])
+    diffs = F.zip_with(_cdf(e, e_sum), _cdf(a, a_sum), lambda x, y: F.abs(x - y))
+    w1 = F.aggregate(
+        F.zip_with(diffs, w_arr, lambda d, w: d * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        F.when(
+            expected_counts.isNull()
+            | actual_counts.isNull()
+            | (F.size(expected_counts) != F.size(actual_counts))
+            | (e_sum == F.lit(0.0))
+            | (a_sum == F.lit(0.0)),
+            F.lit(0.0),
+        )
+        .otherwise(w1)
+        .cast("double")
+    )

@@ -277,6 +277,132 @@ SELECT round(max(abs(ecdf - acdf)), 6) AS ks FROM c
 """
 
 
+def q_wasserstein_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned 1-D Wasserstein-1 drift distance on the fixed-edge n_chars
+    histogram, even vs odd doc_id — the third drift metric alongside the
+    reference-exact PSI and the binned KS (the reference names only PSI/KS;
+    W1 extends the family with a metric that weighs HOW FAR mass moved in
+    the value domain — see wasserstein_expr). Plan: STRICTLY ONE scan —
+    unlike the older psi/ks_nchars_split e/a-branch + crossJoin shape
+    (where the half-filter pushdown breaks subtree equality, so the two
+    branches re-scan; the same pushdown asymmetry the unigram query
+    documents), both halves ride one conditional aggregation: per-bin
+    (c0, c1) pairs, then a single-row rollup into the two dense arrays,
+    then the metric as a JVM array expression over the merged ~7-element
+    histograms (HOF cost is per GROUP, not per row). One scan, one bin
+    exchange, one 1-row exchange — locked in the EXPLAIN audit."""
+    from mlops_drift_detection_spark.operators.psi import wasserstein_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        bucket_expr_native(F.col("n_chars").cast("double"), NCHAR_EDGES).alias("bin"),
+    ).where(F.col("bin").isNotNull())
+    per_bin = docs.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    n_bins = len(NCHAR_EDGES) - 1
+    widths = [NCHAR_EDGES[i + 1] - NCHAR_EDGES[i] for i in range(n_bins)]
+    dense = per_bin.agg(
+        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c0")).alias("m0"),
+        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c1")).alias("m1"),
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(F.col("m0")[i].cast("double"), F.lit(0.0)),
+        ).alias("e"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(F.col("m1")[i].cast("double"), F.lit(0.0)),
+        ).alias("a"),
+    )
+    return dense.select(
+        F.round(wasserstein_expr(F.col("e"), F.col("a"), widths), 6).alias("w1")
+    )
+
+
+_SQL_NCHAR_WIDTHS = ", ".join(
+    f"({i}, {NCHAR_EDGES[i + 1] - NCHAR_EDGES[i]})"
+    for i in range(len(NCHAR_EDGES) - 1)
+)
+SQL_WASSERSTEIN_NCHARS_SPLIT = f"""
+WITH b AS (SELECT doc_id % 2 AS half, {_sql_bucket_case('n_chars', NCHAR_EDGES)} AS bin FROM documents),
+     g AS (SELECT half, bin, count(*) AS c FROM b WHERE bin IS NOT NULL GROUP BY half, bin),
+     bins AS (SELECT range AS bin FROM range({len(NCHAR_EDGES) - 1})),
+     d AS (SELECT bins.bin,
+                  CAST(coalesce(max(CASE WHEN g.half = 0 THEN g.c END), 0) AS DOUBLE) AS ec,
+                  CAST(coalesce(max(CASE WHEN g.half = 1 THEN g.c END), 0) AS DOUBLE) AS ac
+           FROM bins LEFT JOIN g ON g.bin = bins.bin GROUP BY bins.bin),
+     w AS (SELECT * FROM (VALUES {_SQL_NCHAR_WIDTHS}) AS w(bin, width)),
+     c AS (SELECT d.bin, w.width,
+                  sum(ec) OVER (ORDER BY d.bin) / (SELECT sum(ec) FROM d) AS ecdf,
+                  sum(ac) OVER (ORDER BY d.bin) / (SELECT sum(ac) FROM d) AS acdf
+           FROM d JOIN w ON w.bin = d.bin)
+SELECT round(sum(abs(ecdf - acdf) * width), 6) AS w1 FROM c
+"""
+
+
+def q_chisq_lang_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson two-sample chi-squared homogeneity statistic on the lang mix,
+    even vs odd doc_id — the categorical drift test alongside PSI (chi2 is
+    the classical test with a known null distribution; PSI has none).
+    chi2 = sum over (category, sample) of (observed − expected)^2/expected
+    with expected_ic = n_i * rowtotal_c / N. Plan: STRICTLY ONE scan — one
+    lang shuffle into conditional-count pairs, then the scalar totals as
+    an unpartitioned window OVER that |categories|-row aggregate (no
+    second branch re-deriving the totals from the table: a totals
+    crossJoin would re-scan, because the branch lineages diverge before
+    the aggregate — the unigram pushdown lesson), then a single-row
+    rollup. The single-partition window is safe by construction: it holds
+    one row per CATEGORY, never per input row. df = |categories| − 1
+    rides along so the caller can look up the critical value."""
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"), "lang"
+    ).where(F.col("lang").isNotNull())
+    per = docs.groupBy("lang").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy()
+    j = per.withColumn("n0", F.sum("c0").over(w).cast("double")).withColumn(
+        "n1", F.sum("c1").over(w).cast("double")
+    )
+    rowt = (F.col("c0") + F.col("c1")).cast("double")
+    n = F.col("n0") + F.col("n1")
+    e0 = F.col("n0") * rowt / n
+    e1 = F.col("n1") * rowt / n
+    term = F.when(
+        (e0 > 0) & (e1 > 0),
+        (F.col("c0") - e0) * (F.col("c0") - e0) / e0
+        + (F.col("c1") - e1) * (F.col("c1") - e1) / e1,
+    ).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(F.sum(term), 6).alias("chisq"),
+        (F.count(F.lit(1)) - 1).alias("df"),
+    )
+
+
+SQL_CHISQ_LANG_SPLIT = """
+WITH per AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+t AS (SELECT CAST(sum(c0) AS DOUBLE) AS n0, CAST(sum(c1) AS DOUBLE) AS n1 FROM per),
+terms AS (
+  SELECT CASE WHEN n0 * (c0 + c1) / (n0 + n1) > 0 AND n1 * (c0 + c1) / (n0 + n1) > 0
+         THEN (c0 - n0 * (c0 + c1) / (n0 + n1)) * (c0 - n0 * (c0 + c1) / (n0 + n1))
+                / (n0 * (c0 + c1) / (n0 + n1))
+            + (c1 - n1 * (c0 + c1) / (n0 + n1)) * (c1 - n1 * (c0 + c1) / (n0 + n1))
+                / (n1 * (c0 + c1) / (n0 + n1))
+         ELSE 0.0 END AS term
+  FROM per, t)
+SELECT round(sum(term), 6) AS chisq, CAST(count(*) - 1 AS BIGINT) AS df FROM terms
+"""
+
+
 def q_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 flagship: per-source drift verdicts on n_chars vs the even-half
     baseline, with the reference thresholds/severity ladder."""
@@ -1452,6 +1578,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    streaming breadth stays in-window via streaming_dedup_counts +
     #    streaming_drift)
     "code_validation_counts": q_code_validation_counts,
+    "wasserstein_nchars_split": q_wasserstein_nchars_split,
+    "chisq_lang_split": q_chisq_lang_split,
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1490,7 +1618,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         k: PIPELINE_QUERIES[k]
         for k in (
             "winnow_fingerprint_pairs",
-            "ngram_jaccard_join",
             "neardup_clusters",
             "curated_neardup_corpus",
             "curated_corpus_stats",
@@ -1516,7 +1643,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "referential_orders": q_referential_orders,
     "asof_join_events_split": q_asof_join_events_split,
     "interval_join_error_windows": q_interval_join_error_windows,
-    "sessionized_events": q_sessionized_events,
     "sessionized_events_split": q_sessionized_events_split,
     "streaming_drift": q_streaming_drift,
     # ------------------------------------------------------------------
@@ -1524,14 +1650,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window this round). Every entry below has a GREEN r04 driver row, so
     # its most recent row is exactly one round old at end of r05 — within
     # the two-round contract above. All remain in the pytest oracle-parity
-    # sweep. (segment_revenue and asof_join_events parked late-r5 to make
-    # room for the never-checked code_validation_counts and
-    # stack_filter_profile at the head of the window; as-of semantics stay
-    # driver-checked via asof_join_events_split, which shares the same
-    # DuckDB ASOF oracle.)
+    # sweep. (segment_revenue, asof_join_events, sessionized_events and
+    # ngram_jaccard_join parked late-r5 to make room for the never-checked
+    # code_validation_counts, stack_filter_profile,
+    # wasserstein_nchars_split and chisq_lang_split at the head of the
+    # window; as-of and sessionize semantics stay driver-checked via their
+    # _split twins, which share the same DuckDB oracles, and exact-Jaccard
+    # join semantics via minhash_lsh_jaccard's verify stage.)
     # ------------------------------------------------------------------
     "segment_revenue": q_segment_revenue,
     "asof_join_events": q_asof_join_events,
+    "sessionized_events": q_sessionized_events,
+    "ngram_jaccard_join": PIPELINE_QUERIES["ngram_jaccard_join"],
     "schema_align_profile": q_schema_align_profile,
     "psi_nchars_split": q_psi_nchars_split,
     "ks_nchars_split": q_ks_nchars_split,
@@ -1607,6 +1737,8 @@ ORACLES: dict[str, str] = {
     "hll_distinct_check": SQL_HLL_DISTINCT_CHECK,
     "column_profile": SQL_COLUMN_PROFILE,
     "code_validation_counts": SQL_CODE_VALIDATION_COUNTS,
+    "wasserstein_nchars_split": SQL_WASSERSTEIN_NCHARS_SPLIT,
+    "chisq_lang_split": SQL_CHISQ_LANG_SPLIT,
     **MULTI_DRIFT_ORACLES,
     **PIPELINE_ORACLES,
 }

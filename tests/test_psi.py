@@ -101,3 +101,54 @@ def test_severity_ladder():
     assert psi_severity(0.19) == "medium"
     assert psi_severity(0.2) == "high"
     assert psi_severity(5.0) == "high"
+
+
+def test_wasserstein_from_counts():
+    from mlops_drift_detection_spark.operators.psi import wasserstein_from_counts
+
+    # identical -> 0; all diffs = .45,.3,.15,0 with unit widths -> 0.9
+    assert wasserstein_from_counts([10, 10, 10, 10], [10, 10, 10, 10], [1, 1, 1, 1]) == 0.0
+    assert wasserstein_from_counts(
+        [10, 10, 10, 10], [70, 10, 10, 10], [1, 1, 1, 1]
+    ) == pytest.approx(0.9)
+    # widths weigh the tail: same mass shift scores 2x with 2x-wide bins
+    assert wasserstein_from_counts(
+        [10, 10, 10, 10], [70, 10, 10, 10], [2, 2, 2, 2]
+    ) == pytest.approx(1.8)
+    assert wasserstein_from_counts([0, 0], [1, 1], [1, 1]) == 0.0
+
+
+@pytest.mark.parametrize("expected,actual", CASES)
+def test_wasserstein_expr_matches_numpy(spark, expected, actual):
+    from mlops_drift_detection_spark.operators.psi import (
+        wasserstein_expr,
+        wasserstein_from_counts,
+    )
+
+    widths = [float(2 ** i) for i in range(len(expected))]
+    df = spark.createDataFrame(
+        [([float(x) for x in expected], [float(x) for x in actual])],
+        "e array<double>, a array<double>",
+    )
+    got = df.select(
+        wasserstein_expr(F.col("e"), F.col("a"), widths).alias("w1")
+    ).collect()[0]["w1"]
+    assert got == pytest.approx(
+        wasserstein_from_counts(expected, actual, widths), abs=1e-9
+    )
+
+
+def test_wasserstein_expr_null_and_mismatched(spark):
+    from mlops_drift_detection_spark.operators.psi import wasserstein_expr
+
+    df = spark.createDataFrame(
+        [(None, [1.0, 2.0]), ([1.0, 2.0], [1.0, 2.0, 3.0])],
+        "e array<double>, a array<double>",
+    )
+    got = [
+        r["w1"]
+        for r in df.select(
+            wasserstein_expr(F.col("e"), F.col("a"), [1.0, 1.0]).alias("w1")
+        ).collect()
+    ]
+    assert got == [0.0, 0.0]

@@ -132,6 +132,13 @@ EXPECTED: dict[str, dict] = {
         "exch": 2,
         "not_contains": ["SortAggregate"],
     },
+    # r5 drift-family extensions: BOTH halves of the split ride ONE
+    # conditional aggregation — one scan, one group exchange, one 1-row
+    # exchange. The older psi/ks e/a-branch + crossJoin shape re-scans
+    # (half-filter pushdown breaks subtree equality); these two must not
+    # regress to it, so the counts and the no-BNLJ rule lock the shape.
+    "wasserstein_nchars_split": {"scans": 1, "exch": 2},
+    "chisq_lang_split": {"scans": 1, "exch": 2},
     # r5 north-rule flagship: in-memory fixture (0 parquet scans), the
     # referential check must be a broadcast anti-join, and no row-at-a-time
     # Python may appear — ArrowEvalPython IS expected (the fixture's

@@ -164,13 +164,18 @@ ORDER BY n DESC, lang ASC LIMIT 1
 
 def q_psi_lang_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: reference-exact PSI on the lang mix, even vs odd doc_id halves.
-    Uses the engine's native psi_expr over merged count arrays."""
+    Uses the engine's native psi_expr over merged count arrays. One-scan
+    shape (retrofitted late-r5 from the two-filtered-branch + full-outer
+    form, which re-scanned the table per half): both halves ride one
+    conditional aggregation — same (ec, ac) pairs, bit-identical PSI."""
     docs = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
-    e = docs.where(F.col("doc_id") % 2 == 0).groupBy("lang").agg(F.count(F.lit(1)).alias("ec"))
-    a = docs.where(F.col("doc_id") % 2 == 1).groupBy("lang").agg(F.count(F.lit(1)).alias("ac"))
-    j = e.join(a, "lang", "full_outer").select(
-        F.coalesce("ec", F.lit(0)).cast("double").alias("ec"),
-        F.coalesce("ac", F.lit(0)).cast("double").alias("ac"),
+    j = docs.groupBy("lang").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("ec"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("ac"),
     )
     # collect_list order is nondeterministic — but PSI is order-invariant as
     # long as e/a stay zipped, which collecting (ec, ac) structs ensures:
@@ -196,26 +201,44 @@ SELECT round(sum((ap - ep) * ln(ap / ep)), 6) AS psi FROM p
 """
 
 
-def q_psi_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 numerical: PSI on the fixed-edge n_chars histogram, even vs odd."""
+def _dense_half_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row DataFrame with the dense even/odd n_chars histograms as
+    ``e``/``a`` array<double> columns, from ONE scan: both halves ride a
+    single conditional aggregation per bin, then a single-row rollup packs
+    the dense arrays. Shared by the PSI / KS / Wasserstein split queries
+    (retrofitted late-r5: the previous per-half dense branches + crossJoin
+    re-scanned the table per half, because the half-filter pushdown breaks
+    subtree equality — the unigram pushdown lesson). Output values are
+    bit-identical to the old shape: same (bin, count) pairs, same dense
+    packing."""
     docs = _t(spark, sf_dir, "documents").select(
         (F.col("doc_id") % 2).alias("half"),
         bucket_expr_native(F.col("n_chars").cast("double"), NCHAR_EDGES).alias("bin"),
     ).where(F.col("bin").isNotNull())
-    counts = docs.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("c"))
+    per_bin = docs.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
     n_bins = len(NCHAR_EDGES) - 1
-    dense = counts.groupBy("half").agg(
-        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c")).alias("m")
+    return per_bin.agg(
+        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c0")).alias("m0"),
+        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c1")).alias("m1"),
     ).select(
-        "half",
         F.transform(
             F.sequence(F.lit(0), F.lit(n_bins - 1)),
-            lambda i: F.coalesce(F.col("m")[i].cast("double"), F.lit(0.0)),
-        ).alias("counts"),
+            lambda i: F.coalesce(F.col("m0")[i].cast("double"), F.lit(0.0)),
+        ).alias("e"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(F.col("m1")[i].cast("double"), F.lit(0.0)),
+        ).alias("a"),
     )
-    e = dense.where(F.col("half") == 0).select(F.col("counts").alias("e"))
-    a = dense.where(F.col("half") == 1).select(F.col("counts").alias("a"))
-    return e.crossJoin(a).select(
+
+
+def q_psi_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 numerical: PSI on the fixed-edge n_chars histogram, even vs odd.
+    One-scan shape via _dense_half_histograms."""
+    return _dense_half_histograms(spark, sf_dir).select(
         F.round(psi_expr(F.col("e"), F.col("a")), 6).alias("psi")
     )
 
@@ -236,27 +259,11 @@ SELECT round(sum((ap - ep) * ln(ap / ep)), 6) AS psi FROM p
 
 
 def q_ks_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned two-sample KS statistic, even vs odd doc_id (north_star)."""
+    """Binned two-sample KS statistic, even vs odd doc_id (north_star).
+    One-scan shape via _dense_half_histograms."""
     from mlops_drift_detection_spark.operators.psi import ks_expr
 
-    docs = _t(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 2).alias("half"),
-        bucket_expr_native(F.col("n_chars").cast("double"), NCHAR_EDGES).alias("bin"),
-    ).where(F.col("bin").isNotNull())
-    counts = docs.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("c"))
-    n_bins = len(NCHAR_EDGES) - 1
-    dense = counts.groupBy("half").agg(
-        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c")).alias("m")
-    ).select(
-        "half",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_bins - 1)),
-            lambda i: F.coalesce(F.col("m")[i].cast("double"), F.lit(0.0)),
-        ).alias("counts"),
-    )
-    e = dense.where(F.col("half") == 0).select(F.col("counts").alias("e"))
-    a = dense.where(F.col("half") == 1).select(F.col("counts").alias("a"))
-    return e.crossJoin(a).select(
+    return _dense_half_histograms(spark, sf_dir).select(
         F.round(ks_expr(F.col("e"), F.col("a")), 6).alias("ks")
     )
 
@@ -282,41 +289,17 @@ def q_wasserstein_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram, even vs odd doc_id — the third drift metric alongside the
     reference-exact PSI and the binned KS (the reference names only PSI/KS;
     W1 extends the family with a metric that weighs HOW FAR mass moved in
-    the value domain — see wasserstein_expr). Plan: STRICTLY ONE scan —
-    unlike the older psi/ks_nchars_split e/a-branch + crossJoin shape
-    (where the half-filter pushdown breaks subtree equality, so the two
-    branches re-scan; the same pushdown asymmetry the unigram query
-    documents), both halves ride one conditional aggregation: per-bin
-    (c0, c1) pairs, then a single-row rollup into the two dense arrays,
-    then the metric as a JVM array expression over the merged ~7-element
-    histograms (HOF cost is per GROUP, not per row). One scan, one bin
-    exchange, one 1-row exchange — locked in the EXPLAIN audit."""
+    the value domain — see wasserstein_expr). Plan: STRICTLY ONE scan via
+    the shared _dense_half_histograms rollup (one conditional aggregation
+    carries both halves), then the metric as a JVM array expression over
+    the merged ~7-element histograms (HOF cost is per GROUP, not per
+    row). One scan, one bin exchange, one 1-row exchange — locked in the
+    EXPLAIN audit."""
     from mlops_drift_detection_spark.operators.psi import wasserstein_expr
 
-    docs = _t(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 2).alias("half"),
-        bucket_expr_native(F.col("n_chars").cast("double"), NCHAR_EDGES).alias("bin"),
-    ).where(F.col("bin").isNotNull())
-    per_bin = docs.groupBy("bin").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
-    )
     n_bins = len(NCHAR_EDGES) - 1
     widths = [NCHAR_EDGES[i + 1] - NCHAR_EDGES[i] for i in range(n_bins)]
-    dense = per_bin.agg(
-        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c0")).alias("m0"),
-        F.map_from_arrays(F.collect_list("bin"), F.collect_list("c1")).alias("m1"),
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_bins - 1)),
-            lambda i: F.coalesce(F.col("m0")[i].cast("double"), F.lit(0.0)),
-        ).alias("e"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_bins - 1)),
-            lambda i: F.coalesce(F.col("m1")[i].cast("double"), F.lit(0.0)),
-        ).alias("a"),
-    )
-    return dense.select(
+    return _dense_half_histograms(spark, sf_dir).select(
         F.round(wasserstein_expr(F.col("e"), F.col("a"), widths), 6).alias("w1")
     )
 

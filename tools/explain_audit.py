@@ -139,6 +139,11 @@ EXPECTED: dict[str, dict] = {
     # regress to it, so the counts and the no-BNLJ rule lock the shape.
     "wasserstein_nchars_split": {"scans": 1, "exch": 2},
     "chisq_lang_split": {"scans": 1, "exch": 2},
+    # late-r5 retrofit of the SAME one-scan shape onto the older split
+    # queries (they had per-half filtered branches re-scanning the table)
+    "psi_lang_split": {"scans": 1, "exch": 2},
+    "psi_nchars_split": {"scans": 1, "exch": 2},
+    "ks_nchars_split": {"scans": 1, "exch": 2},
     # r5 north-rule flagship: in-memory fixture (0 parquet scans), the
     # referential check must be a broadcast anti-join, and no row-at-a-time
     # Python may appear — ArrowEvalPython IS expected (the fixture's

@@ -144,6 +144,42 @@ def ks_from_counts(
     return float(np.max(np.abs(e_cdf - a_cdf)))
 
 
+def _cdf_array(arr: Column, total: Column) -> Column:
+    """Running-sum CDF array of a count array, shared by the KS and
+    Wasserstein exprs: aggregate into a (running_total, array_of_cdf)
+    struct. Nonzero-safe divisor for the same ANSI/subexpr-hoisting reason
+    as _prop_array."""
+    safe_total = F.when(total == F.lit(0.0), F.lit(1.0)).otherwise(total)
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(0.0).alias("run"),
+            F.array().cast("array<double>").alias("cdf"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["run"] + x).alias("run"),
+            F.concat(
+                acc["cdf"], F.array((acc["run"] + x) / safe_total)
+            ).alias("cdf"),
+        ),
+        lambda acc: acc["cdf"],
+    )
+
+
+def _degenerate_guard(
+    expected_counts: Column, actual_counts: Column, e_sum: Column, a_sum: Column
+) -> Column:
+    """Shared degenerate-input rule for the CDF metrics: either side NULL,
+    size-mismatched, or all-zero -> the metric is 0.0 (no signal)."""
+    return (
+        expected_counts.isNull()
+        | actual_counts.isNull()
+        | (F.size(expected_counts) != F.size(actual_counts))
+        | (e_sum == F.lit(0.0))
+        | (a_sum == F.lit(0.0))
+    )
+
+
 def ks_expr(expected_counts: Column, actual_counts: Column) -> Column:
     """Native binned-KS over two ``array<double>`` columns (JVM-side).
 
@@ -154,35 +190,13 @@ def ks_expr(expected_counts: Column, actual_counts: Column) -> Column:
     a = F.transform(actual_counts, lambda x: x.cast("double"))
     e_sum = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
     a_sum = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
-
-    def _cdf(arr: Column, total: Column) -> Column:
-        # aggregate into (running_total, array_of_cdf) struct; nonzero-safe
-        # divisor for the same ANSI/subexpr-hoisting reason as _prop_array
-        safe_total = F.when(total == F.lit(0.0), F.lit(1.0)).otherwise(total)
-        return F.aggregate(
-            arr,
-            F.struct(
-                F.lit(0.0).alias("run"),
-                F.array().cast("array<double>").alias("cdf"),
-            ),
-            lambda acc, x: F.struct(
-                (acc["run"] + x).alias("run"),
-                F.concat(
-                    acc["cdf"], F.array((acc["run"] + x) / safe_total)
-                ).alias("cdf"),
-            ),
-            lambda acc: acc["cdf"],
-        )
-
-    diffs = F.zip_with(_cdf(e, e_sum), _cdf(a, a_sum), lambda x, y: F.abs(x - y))
+    diffs = F.zip_with(
+        _cdf_array(e, e_sum), _cdf_array(a, a_sum), lambda x, y: F.abs(x - y)
+    )
     ks = F.array_max(diffs)
     return (
         F.when(
-            expected_counts.isNull()
-            | actual_counts.isNull()
-            | (F.size(expected_counts) != F.size(actual_counts))
-            | (e_sum == F.lit(0.0))
-            | (a_sum == F.lit(0.0)),
+            _degenerate_guard(expected_counts, actual_counts, e_sum, a_sum),
             F.lit(0.0),
         )
         .otherwise(ks)
@@ -196,14 +210,19 @@ def wasserstein_from_counts(
     widths: Sequence[float],
 ) -> float:
     """NumPy twin of :func:`wasserstein_expr` (test oracle): binned W1 =
-    sum_i |CDF_e(i) - CDF_a(i)| * width_i; either side empty -> 0.0."""
+    sum_i |CDF_e(i) - CDF_a(i)| * width_i; either side empty, or any size
+    mismatch between the three arrays, -> 0.0 (same rule as the expr)."""
     expected = np.asarray(expected_counts, dtype=float)
     actual = np.asarray(actual_counts, dtype=float)
+    w = np.asarray(widths, dtype=float)
+    if len(expected) != len(actual) or len(expected) != len(w):
+        return 0.0
     if expected.sum() == 0 or actual.sum() == 0:
         return 0.0
     e_cdf = np.cumsum(expected) / expected.sum()
     a_cdf = np.cumsum(actual) / actual.sum()
-    return float(np.sum(np.abs(e_cdf - a_cdf) * np.asarray(widths, dtype=float)))
+    return float(np.sum(np.abs(e_cdf - a_cdf) * w))
+
 
 def wasserstein_expr(
     expected_counts: Column, actual_counts: Column, widths: Sequence[float]
@@ -222,35 +241,23 @@ def wasserstein_expr(
     :func:`ks_expr` (running-sum CDFs via ``aggregate`` + ``zip_with``
     over bin-count arrays, per-row over ALREADY-MERGED histograms — these
     HOFs run once per group over ~10-element arrays, not per input row,
-    so CodegenFallback cost is nil here); the same degenerate-input rule
-    (either side empty/mismatched -> 0.0) keeps verdict plumbing shared.
-    ``widths`` are the static bin widths from the histogram edges; the
-    open tail bin reuses the last finite width.
+    so CodegenFallback cost is nil here); the shared degenerate-input rule
+    (either side empty/mismatched -> 0.0) keeps verdict plumbing uniform,
+    extended here with a count-vs-widths size check (zip_with null-pads
+    the shorter side, which would otherwise poison the sum to NULL).
+    ``widths`` are the static bin widths from the histogram edges; all
+    bins must be finite — the sole production binning
+    (histogram.bucket_expr_native) NULLs values outside the edges, so
+    there is no open tail bin to weigh.
     """
     e = F.transform(expected_counts, lambda x: x.cast("double"))
     a = F.transform(actual_counts, lambda x: x.cast("double"))
     e_sum = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
     a_sum = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
-
-    def _cdf(arr: Column, total: Column) -> Column:
-        safe_total = F.when(total == F.lit(0.0), F.lit(1.0)).otherwise(total)
-        return F.aggregate(
-            arr,
-            F.struct(
-                F.lit(0.0).alias("run"),
-                F.array().cast("array<double>").alias("cdf"),
-            ),
-            lambda acc, x: F.struct(
-                (acc["run"] + x).alias("run"),
-                F.concat(
-                    acc["cdf"], F.array((acc["run"] + x) / safe_total)
-                ).alias("cdf"),
-            ),
-            lambda acc: acc["cdf"],
-        )
-
     w_arr = F.array(*[F.lit(float(w)) for w in widths])
-    diffs = F.zip_with(_cdf(e, e_sum), _cdf(a, a_sum), lambda x, y: F.abs(x - y))
+    diffs = F.zip_with(
+        _cdf_array(e, e_sum), _cdf_array(a, a_sum), lambda x, y: F.abs(x - y)
+    )
     w1 = F.aggregate(
         F.zip_with(diffs, w_arr, lambda d, w: d * w),
         F.lit(0.0),
@@ -258,11 +265,8 @@ def wasserstein_expr(
     )
     return (
         F.when(
-            expected_counts.isNull()
-            | actual_counts.isNull()
-            | (F.size(expected_counts) != F.size(actual_counts))
-            | (e_sum == F.lit(0.0))
-            | (a_sum == F.lit(0.0)),
+            _degenerate_guard(expected_counts, actual_counts, e_sum, a_sum)
+            | (F.size(expected_counts) != F.lit(len(widths))),
             F.lit(0.0),
         )
         .otherwise(w1)

@@ -152,3 +152,23 @@ def test_wasserstein_expr_null_and_mismatched(spark):
         ).collect()
     ]
     assert got == [0.0, 0.0]
+
+
+def test_wasserstein_widths_size_mismatch_is_zero(spark):
+    """zip_with null-pads the shorter side, so without the explicit
+    count-vs-widths size guard a 3-bin array with 2 widths returned NULL
+    instead of the documented degenerate 0.0 (code-review r5 finding)."""
+    from mlops_drift_detection_spark.operators.psi import (
+        wasserstein_expr,
+        wasserstein_from_counts,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [3.0, 2.0, 1.0])],
+        "e array<double>, a array<double>",
+    )
+    got = df.select(
+        wasserstein_expr(F.col("e"), F.col("a"), [1.0, 1.0]).alias("w1")
+    ).collect()[0]["w1"]
+    assert got == 0.0
+    assert wasserstein_from_counts([1, 2, 3], [3, 2, 1], [1.0, 1.0]) == 0.0

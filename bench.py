@@ -87,6 +87,7 @@ EXTRAS_GROUP = [
     "stack_filter_profile",
     "wasserstein_nchars_split",
     "chisq_lang_split",
+    "quantile_shift_drift",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -386,6 +386,60 @@ SELECT round(sum(term), 6) AS chisq, CAST(count(*) - 1 AS BIGINT) AS df FROM ter
 """
 
 
+def q_quantile_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-shift drift on n_chars, even vs odd doc_id: per decile
+    d ∈ {0.1..0.9}, the two EXACT interpolated quantiles and their absolute
+    shift — the value-domain drift view production monitors report next to
+    PSI (a location/scale change shows up as a per-decile displacement
+    profile even when binned PSI is small; quantiles need no edge choice).
+
+    Plan: ONE scan, ONE aggregation — both halves ride a single
+    conditional ``percentile(CASE WHEN ...)`` over the decile array
+    (percentile ignores the other half's NULLs), then posexplode of the
+    zipped 9-element arrays; no groupBy key, so the aggregate is the
+    partial/final pair with a 1-row exchange. Exact percentile, not
+    percentile_approx: approx sketches are engine-specific, so the DuckDB
+    quantile_cont oracle (same (n-1)p linear interpolation on the same
+    integers) reproduces the values bit-for-bit — the established
+    stats_quantiles recipe."""
+    decs = [i / 10.0 for i in range(1, 10)]
+    arr = "array(" + ",".join(str(d) for d in decs) + ")"
+    row = _t(spark, sf_dir, "documents").agg(
+        F.expr(
+            f"percentile(CASE WHEN doc_id % 2 = 0 THEN n_chars END, {arr})"
+        ).alias("qe"),
+        F.expr(
+            f"percentile(CASE WHEN doc_id % 2 = 1 THEN n_chars END, {arr})"
+        ).alias("qa"),
+    )
+    z = row.select(
+        F.posexplode(
+            F.zip_with("qe", "qa", lambda e, a: F.struct(e.alias("e"), a.alias("a")))
+        ).alias("pos", "q")
+    )
+    return z.select(
+        F.round((F.col("pos") + 1) / 10.0, 1).alias("decile"),
+        F.round(F.col("q.e"), 4).alias("q_even"),
+        F.round(F.col("q.a"), 4).alias("q_odd"),
+        F.round(F.abs(F.col("q.e") - F.col("q.a")), 4).alias("abs_shift"),
+    )
+
+
+SQL_QUANTILE_SHIFT_DRIFT = """
+WITH q AS (
+  SELECT quantile_cont(CASE WHEN doc_id % 2 = 0 THEN n_chars END,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qe,
+         quantile_cont(CASE WHEN doc_id % 2 = 1 THEN n_chars END,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qa
+  FROM documents)
+SELECT round(g.i / 10.0, 1) AS decile,
+       round(qe[g.i], 4) AS q_even,
+       round(qa[g.i], 4) AS q_odd,
+       round(abs(qe[g.i] - qa[g.i]), 4) AS abs_shift
+FROM q, generate_series(1, 9) AS g(i)
+"""
+
+
 def q_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 flagship: per-source drift verdicts on n_chars vs the even-half
     baseline, with the reference thresholds/severity ladder."""
@@ -1567,6 +1621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_validation_counts": q_code_validation_counts,
     "wasserstein_nchars_split": q_wasserstein_nchars_split,
     "chisq_lang_split": q_chisq_lang_split,
+    "quantile_shift_drift": q_quantile_shift_drift,
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1614,7 +1669,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "cosine_topk",
             "embedding_neardup_exact",
             "ann_lsh_topk",
-            "ann_ivf_topk",
             "ann_ivf_trained_topk",
             "embedding_neardup_lsh",
         )
@@ -1649,6 +1703,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "sessionized_events": q_sessionized_events,
     "ngram_jaccard_join": PIPELINE_QUERIES["ngram_jaccard_join"],
+    # ann_ivf_topk parked for quantile_shift_drift; the IVF family stays
+    # driver-checked via ann_ivf_trained_topk (same kernel, trained codebook)
+    "ann_ivf_topk": PIPELINE_QUERIES["ann_ivf_topk"],
     "schema_align_profile": q_schema_align_profile,
     "psi_nchars_split": q_psi_nchars_split,
     "ks_nchars_split": q_ks_nchars_split,
@@ -1726,6 +1783,7 @@ ORACLES: dict[str, str] = {
     "code_validation_counts": SQL_CODE_VALIDATION_COUNTS,
     "wasserstein_nchars_split": SQL_WASSERSTEIN_NCHARS_SPLIT,
     "chisq_lang_split": SQL_CHISQ_LANG_SPLIT,
+    "quantile_shift_drift": SQL_QUANTILE_SHIFT_DRIFT,
     **MULTI_DRIFT_ORACLES,
     **PIPELINE_ORACLES,
 }

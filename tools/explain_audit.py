@@ -144,6 +144,10 @@ EXPECTED: dict[str, dict] = {
     "psi_lang_split": {"scans": 1, "exch": 2},
     "psi_nchars_split": {"scans": 1, "exch": 2},
     "ks_nchars_split": {"scans": 1, "exch": 2},
+    # r5: one conditional exact-percentile aggregate (ObjectHashAggregate —
+    # percentile buffers are not UnsafeRow-mutable; still hash-based with a
+    # map-side partial) + the 1-row exchange, nothing else
+    "quantile_shift_drift": {"scans": 1, "exch": 1},
     # r5 north-rule flagship: in-memory fixture (0 parquet scans), the
     # referential check must be a broadcast anti-join, and no row-at-a-time
     # Python may appear — ArrowEvalPython IS expected (the fixture's

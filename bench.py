@@ -88,6 +88,7 @@ EXTRAS_GROUP = [
     "wasserstein_nchars_split",
     "chisq_lang_split",
     "quantile_shift_drift",
+    "secrets_scan_profile",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

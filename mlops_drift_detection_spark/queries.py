@@ -1610,7 +1610,11 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: lead the dict (gopher_repetition_profile,
     #    decontamination_overlap, decontaminated_corpus_stats,
-    #    streaming_dedup_counts and tfidf_top_terms are new in round 5;
+    #    streaming_dedup_counts, tfidf_top_terms and secrets_scan_profile
+    #    are new in round 5 (secrets_scan_profile latest — it displaces
+    #    embedding_neardup_lsh, r04-green, to the buffer; the LSH bucket
+    #    kernel stays in-window via ann_lsh_topk and embedding near-dup
+    #    semantics via embedding_neardup_exact);
     #    schema_align_profile,
     #    zscore_outliers, time_window_counts, range_check_events,
     #    daily_event_windows, binary_dispatch_profile, append_log_window
@@ -1637,6 +1641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "unigram_perplexity_profile",
             "cross_source_dup_rate",
             "tfidf_top_terms",
+            "secrets_scan_profile",
         )
     },
     # -- most recent driver row is r03 (rotated out of the r04 window):
@@ -1670,7 +1675,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "embedding_neardup_exact",
             "ann_lsh_topk",
             "ann_ivf_trained_topk",
-            "embedding_neardup_lsh",
         )
     },
     **MULTI_DRIFT_QUERIES,
@@ -1706,6 +1710,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ann_ivf_topk parked for quantile_shift_drift; the IVF family stays
     # driver-checked via ann_ivf_trained_topk (same kernel, trained codebook)
     "ann_ivf_topk": PIPELINE_QUERIES["ann_ivf_topk"],
+    # embedding_neardup_lsh parked for secrets_scan_profile (see window
+    # comment above)
+    "embedding_neardup_lsh": PIPELINE_QUERIES["embedding_neardup_lsh"],
     "schema_align_profile": q_schema_align_profile,
     "psi_nchars_split": q_psi_nchars_split,
     "ks_nchars_split": q_ks_nchars_split,

@@ -112,6 +112,14 @@ EXPECTED: dict[str, dict] = {
         "exch": 1,
         "not_contains": ["BatchEvalPython", "ArrowEvalPython"],
     },
+    # same shape as pii_redaction_profile: planting, both regexp_counts,
+    # the regexp_extract and the 16-term diversity sum must stay JVM
+    # Column exprs — one scan, one lang-cardinality exchange
+    "secrets_scan_profile": {
+        "scans": 1,
+        "exch": 1,
+        "not_contains": ["BatchEvalPython", "ArrowEvalPython"],
+    },
     # normalization windows run over the lang-cardinality aggregate: one
     # corpus exchange + the single-partition window exchange, nothing else
     "sampling_mixture_weights": {"scans": 1, "exch": 2},

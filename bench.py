@@ -89,6 +89,9 @@ EXTRAS_GROUP = [
     "chisq_lang_split",
     "quantile_shift_drift",
     "secrets_scan_profile",
+    "jsd_lang_split",
+    "license_filter_profile",
+    "dsir_importance_weights",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -386,6 +386,73 @@ SELECT round(sum(term), 6) AS chisq, CAST(count(*) - 1 AS BIGINT) AS df FROM ter
 """
 
 
+# the double nearest ln(2), written as a literal so BOTH engines divide by
+# the identical constant (Java Math.log is 1-ulp, not correctly rounded —
+# computing ln(2) at runtime could differ between JVM and DuckDB libm)
+_LN2 = "0.6931471805599453"
+
+
+def q_jsd_lang_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence on the lang mix, even vs odd doc_id — the
+    bounded symmetric drift metric alongside PSI/KS/W1/chi2 (JSD is the
+    standard corpus-comparison divergence in data-mixture work, e.g. the
+    Pile analysis, Gao et al. 2020; unlike PSI it is finite even when a
+    category is absent from one half, because the mixture M=(P+Q)/2 is
+    nonzero wherever either half is). JSD = 0.5·KL(P‖M) + 0.5·KL(Q‖M),
+    with the 0·ln0 = 0 convention per term; reported in nats and in bits
+    (÷ the shared _LN2 literal), plus the category count.
+
+    Plan: STRICTLY ONE scan, the chisq_lang_split shape — one lang shuffle
+    into conditional-count pairs, scalar totals as an unpartitioned window
+    OVER that |categories|-row aggregate (never a totals crossJoin, which
+    would re-scan), then a 1-row rollup. The single-partition window holds
+    one row per CATEGORY — safe at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"), "lang"
+    ).where(F.col("lang").isNotNull())
+    per = docs.groupBy("lang").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy()
+    j = per.withColumn("n0", F.sum("c0").over(w).cast("double")).withColumn(
+        "n1", F.sum("c1").over(w).cast("double")
+    )
+    p = F.col("c0") / F.col("n0")
+    q = F.col("c1") / F.col("n1")
+    m = (p + q) / 2
+    tp = F.when(F.col("c0") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    tq = F.when(F.col("c1") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    jsd = 0.5 * F.sum(tp) + 0.5 * F.sum(tq)
+    return j.agg(
+        F.round(jsd, 6).alias("jsd_nats"),
+        F.round(jsd / F.lit(float(_LN2)), 6).alias("jsd_bits"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+
+
+SQL_JSD_LANG_SPLIT = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c1
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+t AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM per),
+terms AS (
+  SELECT CASE WHEN c0 > 0
+         THEN (c0/n0) * ln((c0/n0) / ((c0/n0 + c1/n1) / 2)) ELSE 0.0 END AS tp,
+         CASE WHEN c1 > 0
+         THEN (c1/n1) * ln((c1/n1) / ((c0/n0 + c1/n1) / 2)) ELSE 0.0 END AS tq
+  FROM per, t)
+SELECT round(0.5 * sum(tp) + 0.5 * sum(tq), 6) AS jsd_nats,
+       round((0.5 * sum(tp) + 0.5 * sum(tq)) / {_LN2}, 6) AS jsd_bits,
+       CAST(count(*) AS BIGINT) AS n_categories
+FROM terms
+"""
+
+
 def q_quantile_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-shift drift on n_chars, even vs odd doc_id: per decile
     d ∈ {0.1..0.9}, the two EXACT interpolated quantiles and their absolute
@@ -1610,11 +1677,18 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-checked: lead the dict (gopher_repetition_profile,
     #    decontamination_overlap, decontaminated_corpus_stats,
-    #    streaming_dedup_counts, tfidf_top_terms and secrets_scan_profile
-    #    are new in round 5 (secrets_scan_profile latest — it displaces
+    #    streaming_dedup_counts, tfidf_top_terms, secrets_scan_profile,
+    #    jsd_lang_split and license_filter_profile
+    #    are new in round 5 (secrets_scan_profile displaces
     #    embedding_neardup_lsh, r04-green, to the buffer; the LSH bucket
     #    kernel stays in-window via ann_lsh_topk and embedding near-dup
-    #    semantics via embedding_neardup_exact);
+    #    semantics via embedding_neardup_exact. jsd_lang_split and
+    #    license_filter_profile, latest, displace cosine_topk and
+    #    interval_join_error_windows, both r04-green: exact top-k cosine
+    #    stays in-window via embedding_neardup_exact + the ANN pair, and
+    #    temporal-join semantics via the asof/sessionize _split twins.
+    #    dsir_importance_weights, last, displaces winnow_fingerprint_pairs,
+    #    r04-green);
     #    schema_align_profile,
     #    zscore_outliers, time_window_counts, range_check_events,
     #    daily_event_windows, binary_dispatch_profile, append_log_window
@@ -1626,6 +1700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasserstein_nchars_split": q_wasserstein_nchars_split,
     "chisq_lang_split": q_chisq_lang_split,
     "quantile_shift_drift": q_quantile_shift_drift,
+    "jsd_lang_split": q_jsd_lang_split,
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1642,6 +1717,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "cross_source_dup_rate",
             "tfidf_top_terms",
             "secrets_scan_profile",
+            "license_filter_profile",
+            "dsir_importance_weights",
         )
     },
     # -- most recent driver row is r03 (rotated out of the r04 window):
@@ -1664,14 +1741,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
-            "winnow_fingerprint_pairs",
             "neardup_clusters",
             "curated_neardup_corpus",
             "curated_corpus_stats",
             "weighted_sample_docs",
             "minhash_lsh_jaccard",
             "simhash_neardup",
-            "cosine_topk",
             "embedding_neardup_exact",
             "ann_lsh_topk",
             "ann_ivf_trained_topk",
@@ -1687,7 +1762,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_events": q_uniqueness_events,
     "referential_orders": q_referential_orders,
     "asof_join_events_split": q_asof_join_events_split,
-    "interval_join_error_windows": q_interval_join_error_windows,
     "sessionized_events_split": q_sessionized_events_split,
     "streaming_drift": q_streaming_drift,
     # ------------------------------------------------------------------
@@ -1713,6 +1787,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # embedding_neardup_lsh parked for secrets_scan_profile (see window
     # comment above)
     "embedding_neardup_lsh": PIPELINE_QUERIES["embedding_neardup_lsh"],
+    # cosine_topk and interval_join_error_windows parked for jsd_lang_split
+    # and license_filter_profile (see window comment above)
+    "cosine_topk": PIPELINE_QUERIES["cosine_topk"],
+    "interval_join_error_windows": q_interval_join_error_windows,
+    # winnow_fingerprint_pairs (r04-green) parked for dsir_importance_weights;
+    # shingle-fingerprint semantics stay in-window via minhash_lsh_jaccard
+    # and ngram family oracles
+    "winnow_fingerprint_pairs": PIPELINE_QUERIES["winnow_fingerprint_pairs"],
     "schema_align_profile": q_schema_align_profile,
     "psi_nchars_split": q_psi_nchars_split,
     "ks_nchars_split": q_ks_nchars_split,
@@ -1791,6 +1873,7 @@ ORACLES: dict[str, str] = {
     "wasserstein_nchars_split": SQL_WASSERSTEIN_NCHARS_SPLIT,
     "chisq_lang_split": SQL_CHISQ_LANG_SPLIT,
     "quantile_shift_drift": SQL_QUANTILE_SHIFT_DRIFT,
+    "jsd_lang_split": SQL_JSD_LANG_SPLIT,
     **MULTI_DRIFT_ORACLES,
     **PIPELINE_ORACLES,
 }

@@ -1346,6 +1346,99 @@ FROM perd GROUP BY lang
 """
 
 
+_LIC_MIT = "SPDX-License-Identifier: MIT"
+_LIC_APACHE = "Licensed under the Apache License, Version 2.0"
+_LIC_GPL = "GNU General Public License"
+
+
+def q_license_filter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-header filter profile — the permissive-license gate a code
+    pretraining corpus applies before release (public literature: The Stack,
+    Kocetkov et al. 2022, kept only permissive-licensed files, detecting
+    licenses from headers and repo metadata; SPDX short identifiers are the
+    machine-readable convention). The synthetic corpus carries no license
+    headers, so (pii/secrets-style) the query PLANTS them deterministically
+    on coprime doc_id residue classes — % 13 prepends an SPDX MIT tag, % 17
+    an Apache-2.0 grant line, % 19 a GPL notice — classes overlap (lcm
+    221/247/323-multiples carry two headers), exercising the
+    copyleft-trumps-permissive retention rule. Detection is substring scan
+    (``instr``) on the augmented text, identical semantics both engines.
+    Per lang: docs per license, docs with any header, retained docs
+    (permissive header and NOT copyleft — unlicensed docs are dropped, The
+    Stack's rule) and the retention rate.
+
+    Plan (one scan, pii/secrets shape): planting and all three instr
+    probes are per-row JVM Column exprs inside whole-stage codegen (no
+    Python), collapsed by ONE map-side-partial aggregation to a
+    lang-cardinality exchange. Reference scope note: no counterpart in the
+    reference app; extends the code-payload curation family
+    (stack_filter_profile, secrets_scan_profile)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.when(d % 13 == 0, F.lit("// " + _LIC_MIT + "\n")).otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit("// " + _LIC_APACHE + "\n")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            d % 19 == 0,
+            F.lit("// This file is part of x, under the " + _LIC_GPL + ".\n"),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    per = docs.select(
+        "lang",
+        (F.instr(aug, _LIC_MIT) > 0).cast("int").alias("m"),
+        (F.instr(aug, _LIC_APACHE) > 0).cast("int").alias("a"),
+        (F.instr(aug, _LIC_GPL) > 0).cast("int").alias("g"),
+    )
+    retained = F.when(
+        ((F.col("m") == 1) | (F.col("a") == 1)) & (F.col("g") == 0), 1
+    ).otherwise(0)
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("m").alias("n_mit"),
+        F.sum("a").alias("n_apache2"),
+        F.sum("g").alias("n_gpl"),
+        F.sum(
+            F.when(F.col("m") + F.col("a") + F.col("g") > 0, 1).otherwise(0)
+        ).alias("docs_with_header"),
+        F.sum(retained).alias("n_retained"),
+        F.round(F.sum(retained) / F.count(F.lit(1)), 6).alias("retained_rate"),
+    )
+
+
+SQL_LICENSE_FILTER_PROFILE = f"""
+WITH aug AS (
+  SELECT lang,
+         CASE WHEN doc_id % 13 = 0 THEN '// {_LIC_MIT}' || chr(10) ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN '// {_LIC_APACHE}' || chr(10) ELSE '' END
+      || CASE WHEN doc_id % 19 = 0
+           THEN '// This file is part of x, under the {_LIC_GPL}.' || chr(10)
+           ELSE '' END
+      || text AS t
+  FROM documents
+), per AS (
+  SELECT lang,
+         CASE WHEN instr(t, '{_LIC_MIT}') > 0 THEN 1 ELSE 0 END AS m,
+         CASE WHEN instr(t, '{_LIC_APACHE}') > 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN instr(t, '{_LIC_GPL}') > 0 THEN 1 ELSE 0 END AS g
+  FROM aug
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(m) AS BIGINT) AS n_mit,
+       CAST(sum(a) AS BIGINT) AS n_apache2,
+       CAST(sum(g) AS BIGINT) AS n_gpl,
+       CAST(sum(CASE WHEN m + a + g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_header,
+       CAST(sum(CASE WHEN (m = 1 OR a = 1) AND g = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_retained,
+       round(sum(CASE WHEN (m = 1 OR a = 1) AND g = 0 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS retained_rate
+FROM per GROUP BY lang
+"""
+
+
 def q_unigram_perplexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy quality filter (CCNet-style, Wenzek et al.
     2020 — public literature; CCNet scores docs with a KenLM 5-gram, the
@@ -1444,6 +1537,140 @@ SELECT lang,
        CAST(sum(CASE WHEN xent > mean_xent THEN 1 ELSE 0 END) AS BIGINT)
          AS n_above_mean
 FROM per_doc, gm GROUP BY lang
+"""
+
+
+_DSIR_B = 64  # hashed feature buckets (DSIR uses 10k; 64 keeps the sf0.001
+# oracle run cheap while exercising the identical plan shape)
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — Data Selection
+    via Importance Resampling): score every raw document by how target-like
+    its hashed bag-of-ngrams is, log w(x) = Σ_b f_b(x)·(ln p_b − ln q_b),
+    where p/q are Laplace-smoothed hashed-unigram models of the target set
+    (source = src0, the deterministic 'high-quality' proxy) and the raw
+    rest. Docs with log w > 0 are more target-like than raw-like — the
+    selection set importance resampling would upweight. Feature hash is
+    md5-prefix mod B (cross-engine identical, the A-ES uniform idiom).
+
+    Plan (ONE scan): explode tokens → groupBy (doc_id, lang, is_target,
+    bucket) — the first shuffle splits any mega-doc across tasks — then
+    BOTH the bucket models and the per-doc scores re-aggregate from that
+    result (ReuseExchange, the unigram_perplexity lesson: filter/prune in
+    the shared subtree). The B-row log-ratio table and the 1-row totals
+    come back as broadcasts, so the score join never shuffles; per-doc
+    log w is rounded to 9 decimals before the sign test and lang rollup
+    (absorbs sub-ulp cross-engine Σ-order wobble). ln inputs are
+    exact-integer ratios cast to double on BOTH engines. Reference scope
+    note: no counterpart in the reference app; extends the mixture/quality
+    family (sampling_mixture_weights, unigram_perplexity_profile)."""
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("source") == "src0").cast("int").alias("is_target"),
+        F.explode(tokens_array(F.col("text"))).alias("term"),
+    ).where(F.col("term").isNotNull())
+    b = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+        % _DSIR_B
+    ).alias("b")
+    # b is never NULL (md5 of a non-null term), but the score join on `b`
+    # pushes isnotnull(b) into ITS branch of the doc-bucket aggregate only,
+    # breaking canonical plan equality and defeating ReuseExchange (the
+    # unigram_perplexity lesson — a second corpus scan, measured). The
+    # same filter in the shared subtree keeps every branch identical.
+    dbc = (
+        exploded.select("doc_id", "lang", "is_target", b)
+        .where(F.col("b").isNotNull())
+        .groupBy("doc_id", "lang", "is_target", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = dbc.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target") == 1, F.col("c")).otherwise(0)).alias("tb"),
+        F.sum(F.when(F.col("is_target") == 0, F.col("c")).otherwise(0)).alias("rb"),
+    )
+    # the score join pushes isnotnull(b) through ratios into ITS model
+    # subtree; the totals subtree needs the same explicit filter or the
+    # two model aggregates stop canonicalizing equal (second dbc compute)
+    totals = model.where(F.col("b").isNotNull()).agg(
+        F.sum("tb").alias("tt"), F.sum("rb").alias("rt")
+    )
+    ratios = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log(
+                (F.col("tb") + 1).cast("double")
+                / (F.col("tt") + _DSIR_B).cast("double")
+            )
+            - F.log(
+                (F.col("rb") + 1).cast("double")
+                / (F.col("rt") + _DSIR_B).cast("double")
+            )
+        ).alias("lr"),
+    )
+    per_doc = (
+        dbc.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "lang", "is_target")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 9).alias("logw"))
+    )
+    # score ALL docs and select raw ones by CONDITIONAL aggregation, never
+    # a row filter: `where(is_target == 0)` pushes source != 'src0' into
+    # this branch's scan, making it structurally distinct from the model
+    # branch — TWO corpus scans (measured). Scoring the small target set
+    # too costs ~its corpus share; a second 100 TB scan costs a full pass.
+    is_raw = F.col("is_target") == 0
+    n_raw = F.sum(F.when(is_raw, 1).otherwise(0))
+    n_sel = F.sum(F.when(is_raw & (F.col("logw") > 0), 1).otherwise(0))
+    out = per_doc.groupBy("lang").agg(
+        n_raw.alias("n_raw_docs"),
+        F.round(F.avg(F.when(is_raw, F.col("logw"))), 6).alias("avg_logw"),
+        n_sel.alias("n_selected"),
+        F.round(n_sel / n_raw, 6).alias("selected_rate"),
+    )
+    return out.where(F.col("n_raw_docs") > 0)
+
+
+SQL_DSIR_IMPORTANCE_WEIGHTS = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_target,
+         {_SQL_GOPHER_TOKS} AS t
+  FROM documents
+), exploded AS (
+  SELECT doc_id, lang, is_target, unnest(t) AS term FROM base
+), dbc AS (
+  SELECT doc_id, lang, is_target,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {_DSIR_B} AS b,
+         count(*) AS c
+  FROM exploded WHERE term IS NOT NULL GROUP BY ALL
+), model AS (
+  SELECT b,
+         sum(CASE WHEN is_target = 1 THEN c ELSE 0 END) AS tb,
+         sum(CASE WHEN is_target = 0 THEN c ELSE 0 END) AS rb
+  FROM dbc GROUP BY b
+), totals AS (
+  SELECT sum(tb) AS tt, sum(rb) AS rt FROM model
+), ratios AS (
+  SELECT b, ln((tb + 1)::DOUBLE / (tt + {_DSIR_B})::DOUBLE)
+          - ln((rb + 1)::DOUBLE / (rt + {_DSIR_B})::DOUBLE) AS lr
+  FROM model, totals
+), per_doc AS (
+  SELECT doc_id, lang, is_target, round(sum(c * lr), 9) AS logw
+  FROM dbc JOIN ratios USING (b) GROUP BY doc_id, lang, is_target
+)
+SELECT lang,
+       CAST(sum(CASE WHEN is_target = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_raw_docs,
+       round(avg(CASE WHEN is_target = 0 THEN logw END), 6) AS avg_logw,
+       CAST(sum(CASE WHEN is_target = 0 AND logw > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_selected,
+       round(sum(CASE WHEN is_target = 0 AND logw > 0 THEN 1 ELSE 0 END)::DOUBLE
+             / sum(CASE WHEN is_target = 0 THEN 1 ELSE 0 END), 6)
+         AS selected_rate
+FROM per_doc GROUP BY lang
+HAVING sum(CASE WHEN is_target = 0 THEN 1 ELSE 0 END) > 0
 """
 
 
@@ -2103,6 +2330,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packing_efficiency": q_packing_efficiency,
     "pii_redaction_profile": q_pii_redaction_profile,
     "secrets_scan_profile": q_secrets_scan_profile,
+    "license_filter_profile": q_license_filter_profile,
+    "dsir_importance_weights": q_dsir_importance_weights,
     "sampling_mixture_weights": q_sampling_mixture_weights,
     "unigram_perplexity_profile": q_unigram_perplexity_profile,
     "cross_source_dup_rate": q_cross_source_dup_rate,
@@ -2139,6 +2368,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "packing_efficiency": SQL_PACKING_EFFICIENCY,
     "pii_redaction_profile": SQL_PII_REDACTION_PROFILE,
     "secrets_scan_profile": SQL_SECRETS_SCAN_PROFILE,
+    "license_filter_profile": SQL_LICENSE_FILTER_PROFILE,
+    "dsir_importance_weights": SQL_DSIR_IMPORTANCE_WEIGHTS,
     "sampling_mixture_weights": SQL_SAMPLING_MIXTURE_WEIGHTS,
     "unigram_perplexity_profile": SQL_UNIGRAM_PERPLEXITY_PROFILE,
     "cross_source_dup_rate": SQL_CROSS_SOURCE_DUP_RATE,

@@ -494,3 +494,55 @@ def test_cross_source_dup_rate_planted(spark, tmp_path):
     assert rows["s2"]["n_docs"] == 3
     assert rows["s2"]["n_cross_dup"] == 2
     assert rows["s2"]["cross_dup_rate"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_dsir_importance_weights_planted(spark, tmp_path):
+    """Hand-computed DSIR score: target (src0) is all 'good' (bucket 2),
+    raw docs are 'good good' and 'bad bad bad' (bucket 24). With B=64,
+    T=3, R=5: lr_good = ln(4/67) - ln(3/69) > 0, lr_bad = ln(1/67) -
+    ln(4/69) < 0, so the good-leaning raw doc is selected and the bad one
+    is not; avg_logw = (2*lr_g + 3*lr_b) / 2 over the two raw docs."""
+    import math
+
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "good good good", "src0"),
+            (1, "en", "good good", "src1"),
+            (2, "en", "bad bad bad", "src1"),
+        ],
+        "doc_id long, lang string, text string, source string",
+    )
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    rows = {r["lang"]: r for r in q_dsir_importance_weights(spark, out).collect()}
+    lr_g = math.log(4 / 67) - math.log(3 / 69)
+    lr_b = math.log(1 / 67) - math.log(4 / 69)
+    want_avg = (round(2 * lr_g, 9) + round(3 * lr_b, 9)) / 2
+    assert rows["en"]["n_raw_docs"] == 2
+    assert rows["en"]["n_selected"] == 1
+    assert rows["en"]["selected_rate"] == pytest.approx(0.5, abs=1e-9)
+    assert rows["en"]["avg_logw"] == pytest.approx(want_avg, abs=1e-6)
+
+
+def test_dsir_single_scan(spark):
+    """The formatted tree repeats the doc-bucket subtree under the model /
+    totals / score branches (3 Scan nodes — locked in tools/explain_audit
+    .py); at RUNTIME ReuseExchange must collapse them to exactly ONE
+    FileScan. Locks both the shared-subtree isnotnull(b) filter and the
+    conditional-aggregation raw-doc selection (a where(is_target == 0)
+    would push source != 'src0' into the score branch's scan and split it
+    off — the measured two-scan shape)."""
+    from mlops_drift_detection_spark.queries_pipeline import (
+        q_dsir_importance_weights,
+    )
+
+    df = q_dsir_importance_weights(spark, "/root/testdata/sf0.001")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "ReusedExchange" in final

@@ -147,6 +147,23 @@ EXPECTED: dict[str, dict] = {
     # regress to it, so the counts and the no-BNLJ rule lock the shape.
     "wasserstein_nchars_split": {"scans": 1, "exch": 2},
     "chisq_lang_split": {"scans": 1, "exch": 2},
+    # same one-scan window-over-aggregate shape as chisq_lang_split
+    "jsd_lang_split": {"scans": 1, "exch": 2},
+    # static tree repeats the doc-bucket subtree under model/totals/score
+    # (3 scans); runtime ReuseExchange collapses to ONE FileScan —
+    # pytest-locked in tests/test_textstats.py::test_dsir_single_scan
+    "dsir_importance_weights": {
+        "scans": 3,
+        "exch": 10,
+        "bnlj": True,  # scalar totals crossJoin (1-row broadcast)
+        "not_contains": ["BatchEvalPython", "ArrowEvalPython"],
+    },
+    # same one-scan planting shape as pii/secrets: instr probes stay JVM
+    "license_filter_profile": {
+        "scans": 1,
+        "exch": 1,
+        "not_contains": ["BatchEvalPython", "ArrowEvalPython"],
+    },
     # late-r5 retrofit of the SAME one-scan shape onto the older split
     # queries (they had per-half filtered branches re-scanning the table)
     "psi_lang_split": {"scans": 1, "exch": 2},

@@ -92,6 +92,8 @@ EXTRAS_GROUP = [
     "jsd_lang_split",
     "license_filter_profile",
     "dsir_importance_weights",
+    "dup_span_profile",
+    "fd_source_lang_check",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -568,3 +568,79 @@ def simhash_neardup_pairs(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 simhashes (bit_count is JVM-side)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def cross_doc_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-document cross-document duplicated-SPAN stats — substring-level
+    dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": duplicated substrings matter even when whole
+    documents differ; public literature). Doc-level dedup (exact digest /
+    minhash / simhash above) misses a boilerplate block shared by otherwise
+    distinct files; this finds it at k-token granularity.
+
+    A k-token shingle is DUPLICATED when it occurs in >= 2 DISTINCT
+    documents (intra-doc repetition is deliberately out of scope — that is
+    the Gopher repetition gate's signal, textstats.dup_word_frac). Adjacent
+    duplicated shingle positions merge into maximal spans: positions p < p'
+    join one span when ``p' - p <= k`` (shingle p covers tokens
+    [p, p+k-1], so the gap rule makes merged spans exactly the maximal
+    runs of tokens covered by duplicated shingles; merged spans are
+    disjoint by construction). Returns one row per doc that HAS dup spans:
+    ``(id_col, n_dup_spans, dup_tokens)`` with
+    ``dup_tokens = sum over spans of (max_pos - min_pos + k)``.
+
+    Scale shape (no all-pairs anywhere, nothing quadratic):
+    posexplode -> groupBy(shingle) two-phase distinct-doc count (a shingle
+    shared by millions of docs is ONE group; map-side partials bound the
+    shuffle by distinct (shingle, doc) pairs) -> semi-join marks positions
+    (probe-side rows pass through 1:1, so a viral shingle cannot explode
+    the join) -> per-doc window + two rollups that REUSE the window's
+    hash(doc) partitioning (Catalyst inserts no further exchange: grouping
+    on (doc, span) is clustered by doc alone). The duplicated-set branch
+    and the probe branch each re-read the shingle stream (two column-
+    pruned scans — the same recompute-the-narrow-branch trade the split
+    temporal operators document; caching the exploded corpus to avoid it
+    would pin far more than the input). Shingles stay zipped-slice
+    STRUCTS end-to-end (arrays_zip/slice are whole-stage-codegen; the
+    transform()-lambda form is CodegenFallback — BENCH.md r5 lesson), and
+    struct equality == joined-string equality after a whitespace split, so
+    DuckDB oracles reproduce the grouping with string shingles.
+    """
+    from pyspark.sql import Window
+
+    from mlops_drift_detection_spark.functions.textstats import (
+        shingle_structs,
+        tokens_array,
+    )
+
+    shs = df.select(
+        F.col(id_col),
+        F.posexplode(shingle_structs(tokens_array(F.col(text_col)), k)).alias(
+            "__pos", "__sh"
+        ),
+    )
+    dup = (
+        shs.groupBy("__sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__sh")
+    )
+    marked = shs.join(dup, "__sh").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    new_span = F.when(
+        prev.isNull() | (F.col("__pos") - prev > k), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = marked.withColumn("__span", F.sum(new_span).over(running))
+    per_span = spans.groupBy(id_col, "__span").agg(
+        (F.max("__pos") - F.min("__pos") + k).alias("__len")
+    )
+    return per_span.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__len").alias("dup_tokens"),
+    )

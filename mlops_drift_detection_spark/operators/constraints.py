@@ -291,3 +291,56 @@ def empty_violations(spark) -> DataFrame:
         "partition string, check string, column string, repo string, "
         "path string, commit string, detail string",
     )
+
+
+def functional_dependency_profile(
+    df: DataFrame, determinant: str, dependent: str
+) -> DataFrame:
+    """Approximate-functional-dependency check ``determinant -> dependent``
+    — the schema-conformance question "does X determine Y, and where it
+    does not, how badly?" (classic data-profiling FD discovery, e.g. TANE /
+    Metanome — public literature; the reference app's fixed pydantic schema
+    has no cross-column rule, so this extends the constraint family the
+    way a warehouse validator needs: lang derived from path extension,
+    license derived from repo, ...).
+
+    One row PER DETERMINANT VALUE: total rows, number of distinct dependent
+    values, the majority dependent value with its share, the violation
+    count (rows disagreeing with the majority), and ``fd_holds`` (exactly
+    one dependent value). Majority ties break deterministically by
+    descending dependent value (row_number over (count DESC, dep DESC) —
+    the same rule the SQL oracle states, so cross-engine results are
+    byte-identical; max_by/arg_max tie behavior is engine-unspecified,
+    which is why neither engine uses it here).
+
+    Scale shape: groupBy (det, dep) first — a billion-row determinant group
+    collapses to |distinct dep| rows before the window, so the per-det
+    window and final rollup run over group COUNTS, never rows, and a hot
+    determinant cannot skew a task. Both the window and the rollup reuse
+    the first shuffle's hash(det, dep) -> hash(det) co-location (one
+    exchange for the window's repartition, none after).
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(determinant, dependent).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(determinant).orderBy(
+        F.col("__n").desc(), F.col(dependent).desc()
+    )
+    ranked = g.withColumn("__rk", F.row_number().over(w))
+    out = ranked.groupBy(determinant).agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias(f"n_distinct_{dependent}"),
+        F.max(F.when(F.col("__rk") == 1, F.col(dependent))).alias(
+            f"majority_{dependent}"
+        ),
+        F.max(F.when(F.col("__rk") == 1, F.col("__n"))).alias("__mn"),
+    )
+    return out.select(
+        determinant,
+        "n_rows",
+        f"n_distinct_{dependent}",
+        f"majority_{dependent}",
+        F.round(F.col("__mn") / F.col("n_rows"), 6).alias("majority_share"),
+        (F.col("n_rows") - F.col("__mn")).alias("n_violations"),
+        (F.col(f"n_distinct_{dependent}") == 1).alias("fd_holds"),
+    )

@@ -605,6 +605,47 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """
 
 
+def q_fd_source_lang_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column functional-dependency check source -> lang on the
+    documents table (``constraints.functional_dependency_profile``): per
+    source, does one language dominate, with what share, and how many rows
+    disagree. The cross-column conformance rule the reference's fixed
+    per-field pydantic schema cannot express — a warehouse validator's
+    "is lang derivable from source/path" question as a first-class check.
+    """
+    from mlops_drift_detection_spark.operators.constraints import (
+        functional_dependency_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return functional_dependency_profile(docs, "source", "lang")
+
+
+# Majority tiebreak stated identically on both engines: row_number over
+# (count DESC, lang DESC) — arg_max/max_by tie behavior is unspecified in
+# both, so neither side uses it.
+SQL_FD_SOURCE_LANG_CHECK = """
+WITH g AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+), ranked AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang DESC) AS rk
+  FROM g
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_lang,
+       max(CASE WHEN rk = 1 THEN lang END) AS majority_lang,
+       round(max(CASE WHEN rk = 1 THEN n END)::DOUBLE / sum(n), 6)
+         AS majority_share,
+       CAST(sum(n) - max(CASE WHEN rk = 1 THEN n END) AS BIGINT)
+         AS n_violations,
+       count(*) = 1 AS fd_holds
+FROM ranked GROUP BY source
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: |value - mean|/std > 3 outliers (drift_detector.py:295-334)."""
     ev = _t(spark, sf_dir, "events")
@@ -1701,6 +1742,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chisq_lang_split": q_chisq_lang_split,
     "quantile_shift_drift": q_quantile_shift_drift,
     "jsd_lang_split": q_jsd_lang_split,
+    # dup_span_profile + fd_source_lang_check are the final round-5
+    # additions (never checked -> lead). They displace multi_feature_drift
+    # and ann_ivf_trained_topk (both r04-green) to the buffer: multi-column
+    # drift semantics stay in-window via the five per-metric split queries
+    # above plus psi_lang_split/drift_verdicts, and the IVF ANN kernel via
+    # ann_lsh_topk + embedding_neardup_exact (exact ground truth).
+    "dup_span_profile": PIPELINE_QUERIES["dup_span_profile"],
+    "fd_source_lang_check": q_fd_source_lang_check,
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1749,10 +1798,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "simhash_neardup",
             "embedding_neardup_exact",
             "ann_lsh_topk",
-            "ann_ivf_trained_topk",
         )
     },
-    **MULTI_DRIFT_QUERIES,
     # -- core drift/validation surface (green r04; psi_nchars_split and
     #    ks_nchars_split parked to the buffer to make room for the two
     #    late-r5 entries — the split-PSI/KS family stays in-window via
@@ -1777,6 +1824,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # _split twins, which share the same DuckDB oracles, and exact-Jaccard
     # join semantics via minhash_lsh_jaccard's verify stage.)
     # ------------------------------------------------------------------
+    # multi_feature_drift and ann_ivf_trained_topk parked (r04-green) for
+    # the final-r5 dup_span_profile + fd_source_lang_check (see the window
+    # comment at the head of the dict)
+    **MULTI_DRIFT_QUERIES,
+    "ann_ivf_trained_topk": PIPELINE_QUERIES["ann_ivf_trained_topk"],
     "segment_revenue": q_segment_revenue,
     "asof_join_events": q_asof_join_events,
     "sessionized_events": q_sessionized_events,
@@ -1874,6 +1926,7 @@ ORACLES: dict[str, str] = {
     "chisq_lang_split": SQL_CHISQ_LANG_SPLIT,
     "quantile_shift_drift": SQL_QUANTILE_SHIFT_DRIFT,
     "jsd_lang_split": SQL_JSD_LANG_SPLIT,
+    "fd_source_lang_check": SQL_FD_SOURCE_LANG_CHECK,
     **MULTI_DRIFT_ORACLES,
     **PIPELINE_ORACLES,
 }

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from mlops_drift_detection_spark.functions.dedup import (
     _pairs_from_sorted_ids,
+    cross_doc_dup_spans,
     minhash_lsh_candidates,
     ngram_jaccard,
     simhash64_native,
@@ -2310,6 +2311,114 @@ FROM s GROUP BY kind
 """
 
 
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal per lang (Lee et al. 2022 — see
+    ``dedup.cross_doc_dup_spans``): how many docs contain a token span that
+    also occurs (at 8-token shingle granularity) in at least one OTHER
+    document, the average fraction of a doc's tokens covered by such spans,
+    and how many docs fail the Lee-style gate (> 20% of tokens inside
+    cross-doc duplicated spans). Complements the doc-level dedup family:
+    exact digest / minhash catch whole-doc (near-)duplicates; this catches
+    a shared boilerplate block inside otherwise distinct docs.
+
+    Plan: the span operator (posexplode -> shingle groupBy -> mark-join ->
+    per-doc window + rollups; its two branches re-read the shingle stream,
+    see ``cross_doc_dup_spans``) LEFT-joined to a narrow doc-metadata
+    branch (doc_id, lang, token count) — three column-pruned scans total,
+    the documented recompute-the-narrow-branch trade of the split temporal
+    operators, since caching the corpus to avoid it would pin 100 TB —
+    then one per-lang aggregation. No broadcast
+    hint on the join: the dup-doc side is tiny on a clean corpus but can
+    approach |docs| on a crawl-heavy one — AQE sizes it at runtime."""
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_array(F.col("text"))).alias("n_toks"),
+    )
+    per_doc = cross_doc_dup_spans(docs, "doc_id", "text", k=8)
+    prof = (
+        meta.join(per_doc, "doc_id", "left")
+        .withColumn("n_spans", F.coalesce(F.col("n_dup_spans"), F.lit(0)))
+        .withColumn(
+            "f",
+            F.when(
+                F.col("n_toks") > 0,
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("n_toks").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return prof.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_spans") > 0).cast("int")).alias("docs_with_dup_spans"),
+        F.round(F.avg("f"), 6).alias("avg_dup_token_frac"),
+        F.sum("n_spans").alias("total_dup_spans"),
+        F.sum((F.col("f") > 0.2).cast("int")).alias("n_fail_gate"),
+    )
+
+
+# DuckDB mirror: string shingles (join of 8 tokens) reproduce the struct
+# grouping exactly (tokens cannot contain the separator after a whitespace
+# split); 1-based positions — the shift cancels in every gap/length diff.
+_SQL_DUP_SPAN_K = 8
+_SQL_DUP_SPAN_SH = " || ' ' || ".join(
+    f"t[pos + {i}]" for i in range(_SQL_DUP_SPAN_K)
+)
+SQL_DUP_SPAN_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_SQL_GOPHER_TOKS} AS t FROM documents
+), meta AS (
+  SELECT doc_id, lang, len(t) AS n_toks FROM base
+), shs AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - {_SQL_DUP_SPAN_K - 1}, 0) + 1))
+           AS pos,
+         t
+  FROM base
+), s2 AS (
+  SELECT doc_id, pos, {_SQL_DUP_SPAN_SH} AS sh FROM shs
+), dup AS (
+  SELECT sh FROM s2 GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT s2.doc_id, s2.pos FROM s2 JOIN dup USING (sh)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {_SQL_DUP_SPAN_K}
+              THEN 1 ELSE 0 END AS ns
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), spans AS (
+  SELECT doc_id, pos,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), per_span AS (
+  SELECT doc_id, span_id,
+         max(pos) - min(pos) + {_SQL_DUP_SPAN_K} AS span_len
+  FROM spans GROUP BY doc_id, span_id
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_toks
+  FROM per_span GROUP BY doc_id
+), prof AS (
+  SELECT m.lang, coalesce(d.n_spans, 0) AS n_spans,
+         CASE WHEN m.n_toks > 0
+              THEN coalesce(d.dup_toks, 0)::DOUBLE / m.n_toks
+              ELSE 0.0 END AS f
+  FROM meta m LEFT JOIN per_doc d USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_dup_spans,
+       round(avg(f), 6) AS avg_dup_token_frac,
+       CAST(sum(n_spans) AS BIGINT) AS total_dup_spans,
+       CAST(sum(CASE WHEN f > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_gate
+FROM prof GROUP BY lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "dedup_keep_min_by_lang": q_dedup_keep_min_by_lang,
@@ -2346,6 +2455,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "media_profile": q_media_profile,
     "media_real_profile": q_media_real_profile,
+    "dup_span_profile": q_dup_span_profile,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -2384,4 +2494,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE_DOCS,
     "media_profile": SQL_MEDIA_PROFILE,
     "media_real_profile": SQL_MEDIA_REAL_PROFILE,
+    "dup_span_profile": SQL_DUP_SPAN_PROFILE,
 }

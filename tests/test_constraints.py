@@ -169,3 +169,30 @@ def test_fused_row_violations_single_scan_plan(fixture):
     ]
     plan = C.fused_row_violations(cf, rules)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("inmemoryrelation") + plan.lower().count("logicalrdd") <= 1
+
+
+def test_functional_dependency_profile(spark):
+    """FD check source->lang: holds / violated / deterministic DESC majority
+    tiebreak (the rule both engines state via row_number, never max_by)."""
+    from mlops_drift_detection_spark.operators.constraints import (
+        functional_dependency_profile,
+    )
+
+    rows = (
+        [("s1", "a")] * 3 + [("s1", "b")]          # majority a, 1 violation
+        + [("s2", "c")] * 4                          # FD holds
+        + [("s3", "a")] * 2 + [("s3", "b")] * 2      # tie -> 'b' (DESC)
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {
+        r["source"]: r.asDict()
+        for r in functional_dependency_profile(df, "source", "lang").collect()
+    }
+    assert out["s1"]["majority_lang"] == "a"
+    assert out["s1"]["n_violations"] == 1
+    assert out["s1"]["majority_share"] == 0.75
+    assert not out["s1"]["fd_holds"]
+    assert out["s2"]["fd_holds"] and out["s2"]["n_violations"] == 0
+    assert out["s3"]["majority_lang"] == "b"  # tie broken by DESC dep value
+    assert out["s3"]["n_violations"] == 2
+    assert out["s3"]["n_distinct_lang"] == 2

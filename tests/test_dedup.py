@@ -303,3 +303,51 @@ def test_band_bucket_keys_match_hof_formulation(spark):
         .collect()
     }
     assert got == old
+
+
+def test_cross_doc_dup_spans_planted(spark):
+    """Planted k=3 example: one shared shingle, one shared run, a clean doc,
+    and an intra-doc-only repeat (must NOT count — cross-doc semantics)."""
+    from mlops_drift_detection_spark.functions.dedup import cross_doc_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            # d1/d2 share "a b c" (one 3-token shingle) at positions 0 / 2
+            (1, "a b c d e f"),
+            (2, "x y a b c z"),
+            # d3 is clean
+            (3, "q r s t u"),
+            # d4 repeats "m n o" INSIDE itself only -> not cross-doc dup
+            (4, "m n o p m n o"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in cross_doc_dup_spans(df, "doc_id", "text", k=3).collect()
+    }
+    assert out == {1: (1, 3), 2: (1, 3)}
+
+
+def test_cross_doc_dup_spans_merge_and_gap(spark):
+    """Adjacent duplicated shingles merge into ONE maximal span (span_len =
+    max_pos - min_pos + k); positions further apart than k stay separate."""
+    from mlops_drift_detection_spark.functions.dedup import cross_doc_dup_spans
+
+    shared = "a b c d e"  # 3 overlapping 3-shingles -> one 5-token span
+    df = spark.createDataFrame(
+        [
+            (1, shared + " q1 q2 q3 q4 q5 " + shared),  # two spans, gap > k
+            (2, shared + " z9"),
+            (3, "unrelated words only here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in cross_doc_dup_spans(df, "doc_id", "text", k=3).collect()
+    }
+    # doc 1: spans at positions 0-2 and 10-12 -> 2 spans, 5 tokens each
+    assert out[1] == (2, 10)
+    assert out[2] == (1, 5)
+    assert 3 not in out

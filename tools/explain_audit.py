@@ -183,6 +183,24 @@ EXPECTED: dict[str, dict] = {
         "contains": ["BroadcastHashJoin LeftAnti"],
         "not_contains": ["BatchEvalPython"],
     },
+    # final-r5: 3 scans = doc-metadata branch + the shingle stream read
+    # twice (duplicated-set branch and mark-join probe branch) — the
+    # documented narrow-branch recompute, same trade as the split temporal
+    # operators (caching the corpus would pin 100 TB). Every aggregate over
+    # the exploded shingle stream must stay hash-based: a SortAggregate
+    # here is a full sort of |tokens|-scale rows.
+    "dup_span_profile": {
+        "scans": 3,
+        "exch": 6,
+        "not_contains": ["SortAggregate"],
+    },
+    # final-r5: one scan, two exchanges (the (det,dep) pre-aggregate, then
+    # the per-det window repartition; the majority rollup REUSES the
+    # window's sort order — its SortAggregate inserts no Sort node, which
+    # is why SortAggregate is NOT banned here: string-max agg buffers
+    # demote to SortAggregate, but over the already-sorted pair-count
+    # aggregate, never over raw rows).
+    "fd_source_lang_check": {"scans": 1, "exch": 2},
 }
 
 AUDITED = list(EXPECTED)

@@ -94,6 +94,7 @@ EXTRAS_GROUP = [
     "dsir_importance_weights",
     "dup_span_profile",
     "fd_source_lang_check",
+    "semdedup_clusters",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

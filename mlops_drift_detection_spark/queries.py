@@ -1750,6 +1750,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ann_lsh_topk + embedding_neardup_exact (exact ground truth).
     "dup_span_profile": PIPELINE_QUERIES["dup_span_profile"],
     "fd_source_lang_check": q_fd_source_lang_check,
+    # semdedup_clusters (never checked -> leads) displaces simhash_neardup
+    # (r04-green) to the buffer: lexical near-dup stays in-window via
+    # minhash_lsh_jaccard + neardup_clusters + dup_span_profile, and the
+    # simhash kernel keeps its pytest parity suite. semdedup's oracle
+    # replays the trained-IVF codebook chain, so the IVF kernel regains
+    # in-window driver signal that ann_ivf_trained_topk's parking removed.
+    "semdedup_clusters": PIPELINE_QUERIES["semdedup_clusters"],
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1795,7 +1802,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "curated_corpus_stats",
             "weighted_sample_docs",
             "minhash_lsh_jaccard",
-            "simhash_neardup",
             "embedding_neardup_exact",
             "ann_lsh_topk",
         )
@@ -1829,6 +1835,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # comment at the head of the dict)
     **MULTI_DRIFT_QUERIES,
     "ann_ivf_trained_topk": PIPELINE_QUERIES["ann_ivf_trained_topk"],
+    # simhash_neardup parked (r04-green) for semdedup_clusters (see the
+    # window comment at the head of the dict)
+    "simhash_neardup": PIPELINE_QUERIES["simhash_neardup"],
     "segment_revenue": q_segment_revenue,
     "asof_join_events": q_asof_join_events,
     "sessionized_events": q_sessionized_events,

@@ -35,6 +35,7 @@ from mlops_drift_detection_spark.functions.similarity import (
     brute_force_topk,
     cosine_expr,
     embedding_neardup_pairs,
+    ivf_assign,
     ivf_topk,
     lsh_bucketed_topk,
     make_hyperplanes,
@@ -430,6 +431,112 @@ def _sql_ann_ivf_trained_topk() -> str:
     return (
         ",\n".join(ctes)
         + "\nSELECT query_id, neighbor_id, round(c, 6) AS cosine FROM r WHERE rk <= 10"
+    )
+
+
+SEMDEDUP_THRESHOLD = 0.45  # the fixture's planted near-dup cosine level
+
+
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication" —
+    public literature): k-means-cluster the embedding space, then search
+    for duplicate pairs ONLY within each cluster — the cluster partition
+    is what makes semantic dedup tractable at web scale (candidate pairs
+    are sum of per-cluster squares, not corpus-squared; the knob is the
+    centroid count, which bounds expected cluster size). Per cluster:
+    member count, duplicate pairs (cosine >= threshold), and how many
+    members dedup would drop (deterministic keep-min rule: a member is
+    dropped when it is the LARGER id of any dup pair, so each dup group
+    keeps its minimum id — the same survivor rule the exact-dup pipeline
+    uses, stated identically in the oracle).
+
+    Reuses the trained-IVF codebook verbatim (same seeded init + 2 Lloyd
+    iterations + 6-decimal rounding as `ann_ivf_trained_topk`, so the
+    DuckDB oracle replays the identical recipe CTE for CTE): assignment is
+    the zero-shuffle broadcast-argmax projection — the corpus never
+    shuffles to get its cluster id; the only corpus-sized exchanges are
+    the within-cluster self-join's hash(cid) on its two sides. Plan shape:
+    the static tree repeats the codebook-training subtree under every
+    consumer branch (audit-locked 12 scans / 34 exchanges PRE-reuse, the
+    ann_ivf_trained_topk pattern); at runtime ReuseExchange computes the
+    codebook broadcast once (pytest-locked: exactly 5 FileScans — the two
+    Lloyd assignment passes + member counts + both self-join sides, every
+    one pruned to (vec_id, embedding) — with ReusedExchange present). At
+    production scale the codebook would train on a SAMPLE (it needs only
+    O(centroids x dim) statistics), dropping the training passes from the
+    corpus path entirely. Exact ground truth for the pair semantics lives
+    in `embedding_neardup_exact` (all-pairs, same threshold); pytest
+    asserts this query's pairs are exactly the co-clustered subset of
+    those."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroid_ids=IVF_CENTROID_IDS, iters=IVF_TRAIN_ITERS,
+        round_decimals=IVF_ROUND,
+    )
+    assigned = ivf_assign(emb, cents, "vec_id", "embedding", nprobe=1)
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    a = assigned.select(
+        "cid", F.col("id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = assigned.select(
+        "cid", F.col("id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    dup = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.count_distinct(F.col("id_b")).alias("n_dropped"),
+        )
+    )
+    return members.join(dup, "cid", "left").select(
+        "cid",
+        "n_members",
+        F.coalesce(F.col("n_dup_pairs"), F.lit(0)).alias("n_dup_pairs"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+    )
+
+
+def _sql_semdedup_clusters() -> str:
+    """DuckDB mirror: the trained-codebook CTE chain (shared with
+    `_sql_ann_ivf_trained_topk`) + within-cluster pairs + per-cluster
+    rollup."""
+    ctes = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, ve AS cvec FROM v
+      WHERE vec_id IN ({', '.join(str(i) for i in IVF_CENTROID_IDS)}))""",
+    ]
+    prev = "c0"
+    for it in range(1, IVF_TRAIN_ITERS + 1):
+        ctes.append(_sql_ivf_assign(prev, "v", f"a{it}", "rk = 1"))
+        ctes.append(_sql_lloyd_update(f"a{it}", f"c{it}"))
+        prev = f"c{it}"
+    ctes.append(_sql_ivf_assign(prev, "v", "corpus_a", "rk = 1"))
+    ctes.append(
+        """members AS (SELECT cid, count(*) AS n FROM corpus_a GROUP BY cid)"""
+    )
+    ctes.append(
+        f"""d AS (SELECT cid, count(*) AS np, count(DISTINCT id_b) AS nd FROM (
+      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.ve, b.ve)
+             / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS c
+      FROM corpus_a a JOIN corpus_a b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    WHERE c >= {SEMDEDUP_THRESHOLD} GROUP BY cid)"""
+    )
+    return (
+        ",\n".join(ctes)
+        + """
+SELECT m.cid,
+       CAST(m.n AS BIGINT) AS n_members,
+       CAST(coalesce(d.np, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dropped
+FROM members m LEFT JOIN d USING (cid)"""
     )
 
 
@@ -2456,6 +2563,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_profile": q_media_profile,
     "media_real_profile": q_media_real_profile,
     "dup_span_profile": q_dup_span_profile,
+    "semdedup_clusters": q_semdedup_clusters,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -2495,4 +2603,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "media_profile": SQL_MEDIA_PROFILE,
     "media_real_profile": SQL_MEDIA_REAL_PROFILE,
     "dup_span_profile": SQL_DUP_SPAN_PROFILE,
+    "semdedup_clusters": _sql_semdedup_clusters(),
 }

@@ -199,3 +199,69 @@ def test_lsh_topk_single_corpus_scan(spark, tmp_path, vecs):
     )._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= 2, f"expected <=2 parquet scans, saw {n_scans}"
+
+
+def test_semdedup_runtime_reuse_and_subset(spark):
+    """SemDeDup cluster-scoped dedup: (a) its dup pairs are EXACTLY the
+    co-clustered subset of the exact all-pairs near-dups (same threshold),
+    with n_dropped = distinct larger ids per cluster; (b) at runtime
+    ReuseExchange computes the trained-codebook broadcast once — exactly 5
+    FileScans (two Lloyd assignment passes + member counts + both
+    self-join sides) where the static tree shows 12 (audit-locked)."""
+    from mlops_drift_detection_spark.functions.similarity import (
+        cosine_expr,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from mlops_drift_detection_spark.queries_pipeline import (
+        IVF_CENTROID_IDS,
+        IVF_ROUND,
+        IVF_TRAIN_ITERS,
+        SEMDEDUP_THRESHOLD,
+        q_semdedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = train_ivf_centroids(
+        emb, id_col="vec_id", vec_col="embedding",
+        centroid_ids=IVF_CENTROID_IDS, iters=IVF_TRAIN_ITERS,
+        round_decimals=IVF_ROUND,
+    )
+    cid_of = {
+        r["id"]: r["cid"]
+        for r in ivf_assign(emb, cents, "vec_id", "embedding").collect()
+    }
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .where(cosine_expr(F.col("va"), F.col("vb")) >= SEMDEDUP_THRESHOLD)
+        .select("ia", "ib")
+        .collect()
+    )
+    expected_pairs = {}
+    expected_drop = {}
+    for r in exact:
+        if cid_of[r["ia"]] == cid_of[r["ib"]]:
+            c = cid_of[r["ia"]]
+            expected_pairs[c] = expected_pairs.get(c, 0) + 1
+            expected_drop.setdefault(c, set()).add(r["ib"])
+
+    df = q_semdedup_clusters(spark, sf)
+    rows = df.collect()
+    got_pairs = {r["cid"]: r["n_dup_pairs"] for r in rows if r["n_dup_pairs"]}
+    got_drop = {r["cid"]: r["n_dropped"] for r in rows if r["n_dropped"]}
+    assert got_pairs == expected_pairs
+    assert got_drop == {c: len(s) for c, s in expected_drop.items()}
+    # every assigned cluster appears with its member count
+    from collections import Counter
+
+    assert {r["cid"]: r["n_members"] for r in rows} == dict(
+        Counter(cid_of.values())
+    )
+
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 5
+    assert "ReusedExchange" in final

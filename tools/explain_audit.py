@@ -194,6 +194,12 @@ EXPECTED: dict[str, dict] = {
         "exch": 6,
         "not_contains": ["SortAggregate"],
     },
+    # final-r5 SemDeDup: static tree repeats the codebook-training subtree
+    # under every consumer (the ann_ivf_trained_topk pattern); runtime
+    # ReuseExchange collapse to 5 FileScans is pytest-locked in
+    # tests/test_similarity.py::test_semdedup_runtime_reuse_and_subset.
+    # BNLJ = the whitelisted 1-row broadcast-centroids crossJoin.
+    "semdedup_clusters": {"scans": 12, "exch": 34, "bnlj": True},
     # final-r5: one scan, two exchanges (the (det,dep) pre-aggregate, then
     # the per-det window repartition; the majority rollup REUSES the
     # window's sort order — its SortAggregate inserts no Sort node, which

@@ -95,6 +95,7 @@ EXTRAS_GROUP = [
     "dup_span_profile",
     "fd_source_lang_check",
     "semdedup_clusters",
+    "json_conformance_profile",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

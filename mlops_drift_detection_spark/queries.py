@@ -646,6 +646,102 @@ FROM ranked GROUP BY source
 """
 
 
+def q_json_conformance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload validation — the check a warehouse validator
+    needs for JSON columns that a fixed relational schema cannot express:
+    per event_type, how many ``props`` payloads are malformed (not a JSON
+    object), parse but MISS the required key ``k``, carry a wrong-TYPE
+    value (non-integer), or fully conform — plus the conformance rate.
+
+    Planting (the pii/secrets/license discipline — the synthetic fixture
+    carries only well-formed payloads): three defect classes are planted
+    deterministically on event_id residue classes with first-match-wins
+    order stated identically in the oracle, so every planted defect is
+    value-checked cross-engine. Malformedness is judged by REAL JSON
+    parsers on both engines, not string equality: Spark's PERMISSIVE
+    ``from_json`` with a corrupt-record column (Jackson) vs DuckDB's
+    ``json_valid`` + ``json_type = 'OBJECT'`` — the one semantic gap
+    (a top-level JSON ARRAY is corrupt for a struct schema in Spark but
+    valid JSON to DuckDB) is closed by the OBJECT-type test; the integer
+    check is a shared Java∩RE2-identical anchored regex on the extracted
+    string. ONE scan + one event_type exchange; from_json is a single
+    JVM-side Jackson parse per row (the canonical Spark semi-structured
+    path — no per-row Python, BatchEvalPython absence plan-locked)."""
+    ev = _t(spark, sf_dir, "events")
+    aug = (
+        F.when(F.col("event_id") % 97 == 0, F.lit('{"k": }'))
+        .when(F.col("event_id") % 89 == 0, F.lit('{"x": 5}'))
+        .when(F.col("event_id") % 83 == 0, F.lit('{"k": "oops"}'))
+        .otherwise(F.col("props"))
+    )
+    parsed = F.from_json(
+        aug,
+        "k string, _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    s = ev.select(
+        "event_type",
+        parsed["_corrupt"].isNotNull().alias("malformed"),
+        parsed["k"].alias("kx"),
+    )
+    is_int = F.col("kx").rlike("^-?[0-9]+$")
+    missing = ~F.col("malformed") & F.col("kx").isNull()
+    type_bad = ~F.col("malformed") & F.col("kx").isNotNull() & ~is_int
+    conform = ~F.col("malformed") & F.col("kx").isNotNull() & is_int
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("malformed").cast("int")).alias("n_malformed"),
+        F.sum(missing.cast("int")).alias("n_missing_key"),
+        F.sum(type_bad.cast("int")).alias("n_type_bad"),
+        F.sum(conform.cast("int")).alias("n_conform"),
+        F.round(
+            F.sum(conform.cast("int")) / F.count(F.lit(1)), 6
+        ).alias("conform_rate"),
+    )
+
+
+SQL_JSON_CONFORMANCE_PROFILE = r"""
+WITH aug AS (
+  SELECT event_type,
+         CASE WHEN event_id % 97 = 0 THEN '{"k": }'
+              WHEN event_id % 89 = 0 THEN '{"x": 5}'
+              WHEN event_id % 83 = 0 THEN '{"k": "oops"}'
+              ELSE props END AS p
+  FROM events
+), v AS (
+  -- json_type/json_extract THROW on malformed input and OR does not
+  -- short-circuit under vectorized execution; CASE branches do
+  SELECT event_type, p,
+         CASE WHEN p IS NULL THEN false
+              WHEN NOT json_valid(p) THEN false
+              ELSE json_type(p) = 'OBJECT' END AS is_obj
+  FROM aug
+), c AS (
+  SELECT event_type,
+         NOT is_obj AS malformed,
+         CASE WHEN is_obj THEN json_extract_string(p, '$.k') END AS kx
+  FROM v
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN malformed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_malformed,
+       CAST(sum(CASE WHEN NOT malformed AND kx IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_key,
+       CAST(sum(CASE WHEN NOT malformed AND kx IS NOT NULL
+                          AND NOT regexp_matches(kx, '^-?[0-9]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_type_bad,
+       CAST(sum(CASE WHEN NOT malformed AND kx IS NOT NULL
+                          AND regexp_matches(kx, '^-?[0-9]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conform,
+       round(sum(CASE WHEN NOT malformed AND kx IS NOT NULL
+                           AND regexp_matches(kx, '^-?[0-9]+$')
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS conform_rate
+FROM c GROUP BY event_type
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: |value - mean|/std > 3 outliers (drift_detector.py:295-334)."""
     ev = _t(spark, sf_dir, "events")
@@ -1757,6 +1853,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # replays the trained-IVF codebook chain, so the IVF kernel regains
     # in-window driver signal that ann_ivf_trained_topk's parking removed.
     "semdedup_clusters": PIPELINE_QUERIES["semdedup_clusters"],
+    # json_conformance_profile (never checked -> leads) displaces
+    # uniqueness_events (r04-green) to the buffer: uniqueness stays
+    # in-window via code_validation_counts, whose suite pass includes the
+    # (repo, path, commit) uniqueness check with planted duplicate keys.
+    "json_conformance_profile": q_json_conformance_profile,
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1812,7 +1913,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    psi_lang_split + drift_verdicts + multi_feature_drift)
     "psi_lang_split": q_psi_lang_split,
     "drift_verdicts": q_drift_verdicts,
-    "uniqueness_events": q_uniqueness_events,
     "referential_orders": q_referential_orders,
     "asof_join_events_split": q_asof_join_events_split,
     "sessionized_events_split": q_sessionized_events_split,
@@ -1838,6 +1938,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # simhash_neardup parked (r04-green) for semdedup_clusters (see the
     # window comment at the head of the dict)
     "simhash_neardup": PIPELINE_QUERIES["simhash_neardup"],
+    # uniqueness_events parked (r04-green) for json_conformance_profile
+    # (see the window comment at the head of the dict)
+    "uniqueness_events": q_uniqueness_events,
     "segment_revenue": q_segment_revenue,
     "asof_join_events": q_asof_join_events,
     "sessionized_events": q_sessionized_events,
@@ -1936,6 +2039,7 @@ ORACLES: dict[str, str] = {
     "quantile_shift_drift": SQL_QUANTILE_SHIFT_DRIFT,
     "jsd_lang_split": SQL_JSD_LANG_SPLIT,
     "fd_source_lang_check": SQL_FD_SOURCE_LANG_CHECK,
+    "json_conformance_profile": SQL_JSON_CONFORMANCE_PROFILE,
     **MULTI_DRIFT_ORACLES,
     **PIPELINE_ORACLES,
 }

@@ -200,6 +200,14 @@ EXPECTED: dict[str, dict] = {
     # tests/test_similarity.py::test_semdedup_runtime_reuse_and_subset.
     # BNLJ = the whitelisted 1-row broadcast-centroids crossJoin.
     "semdedup_clusters": {"scans": 12, "exch": 34, "bnlj": True},
+    # final-r5 JSON-payload validation: the pii planting shape — one scan,
+    # one event_type exchange, all parsing a single JVM-side from_json
+    # (Jackson) per row; no per-row Python may appear
+    "json_conformance_profile": {
+        "scans": 1,
+        "exch": 1,
+        "not_contains": ["BatchEvalPython", "ArrowEvalPython"],
+    },
     # final-r5: one scan, two exchanges (the (det,dep) pre-aggregate, then
     # the per-det window repartition; the majority rollup REUSES the
     # window's sort order — its SortAggregate inserts no Sort node, which

@@ -96,6 +96,7 @@ EXTRAS_GROUP = [
     "fd_source_lang_check",
     "semdedup_clusters",
     "json_conformance_profile",
+    "volume_anomaly_check",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

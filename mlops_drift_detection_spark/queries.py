@@ -850,6 +850,77 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_volume_anomaly_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection — the data-observability check (Monte
+    Carlo / Anomalo-class freshness+volume monitors; public product
+    category, standard z-score-on-counts method) a validation engine runs
+    before trusting a day's ingest: per (event_type, day), the day's event
+    count against the TRAILING-7-observation mean/std (current day
+    excluded), the z-score, and an anomaly flag at |z| > 3 with a
+    >= 3-prior-observation minimum (a 1-2 day history cannot alarm).
+
+    ROWS (not RANGE) lookback — "the last 7 observed days", so a gap day
+    does not shrink the window; both engines state the identical frame.
+    Scale shape: the daily pre-aggregate collapses the event stream to
+    |types| x |days| rows BEFORE the window (one corpus-sized exchange on
+    (type, day) with map-side partials; the window then repartitions only
+    the tiny aggregate on type). z is NULL (not anomalous) when the
+    trailing std is 0 or history is short — stated identically in the
+    oracle."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"), F.to_date(F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    n_prior = F.count(F.lit(1)).over(w)
+    z = F.when(
+        (n_prior >= 3) & sd.isNotNull() & (sd > 0),
+        (F.col("n_events") - mu) / sd,
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(mu, 6).alias("trailing_mean"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+SQL_VOLUME_ANOMALY_CHECK = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, day, n_events,
+         avg(n_events) OVER w AS mu,
+         stddev_samp(n_events) OVER w AS sd,
+         count(*) OVER w AS n_prior
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type, day, n_events, mu,
+         CASE WHEN n_prior >= 3 AND sd IS NOT NULL AND sd > 0
+              THEN (n_events - mu) / sd END AS zv
+  FROM s
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       round(mu, 6) AS trailing_mean,
+       round(zv, 6) AS zscore,
+       coalesce(abs(zv) > 3, false) AS is_anomaly
+FROM z
+"""
+
+
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.py): every event joined to its user's
     most recent error event at or before it — the union-trick plan (ONE key
@@ -1858,6 +1929,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-window via code_validation_counts, whose suite pass includes the
     # (repo, path, commit) uniqueness check with planted duplicate keys.
     "json_conformance_profile": q_json_conformance_profile,
+    # volume_anomaly_check (never checked -> leads) displaces
+    # referential_orders (r04-green) to the buffer: the referential
+    # anti-join stays in-window via code_validation_counts, whose suite
+    # pass includes the commit->repo referential check with planted
+    # orphans (broadcast anti-join, plan-locked).
+    "volume_anomaly_check": q_volume_anomaly_check,
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
@@ -1913,7 +1990,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    psi_lang_split + drift_verdicts + multi_feature_drift)
     "psi_lang_split": q_psi_lang_split,
     "drift_verdicts": q_drift_verdicts,
-    "referential_orders": q_referential_orders,
     "asof_join_events_split": q_asof_join_events_split,
     "sessionized_events_split": q_sessionized_events_split,
     "streaming_drift": q_streaming_drift,
@@ -1941,6 +2017,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # uniqueness_events parked (r04-green) for json_conformance_profile
     # (see the window comment at the head of the dict)
     "uniqueness_events": q_uniqueness_events,
+    # referential_orders parked (r04-green) for volume_anomaly_check
+    # (see the window comment at the head of the dict)
+    "referential_orders": q_referential_orders,
     "segment_revenue": q_segment_revenue,
     "asof_join_events": q_asof_join_events,
     "sessionized_events": q_sessionized_events,
@@ -2040,6 +2119,7 @@ ORACLES: dict[str, str] = {
     "jsd_lang_split": SQL_JSD_LANG_SPLIT,
     "fd_source_lang_check": SQL_FD_SOURCE_LANG_CHECK,
     "json_conformance_profile": SQL_JSON_CONFORMANCE_PROFILE,
+    "volume_anomaly_check": SQL_VOLUME_ANOMALY_CHECK,
     **MULTI_DRIFT_ORACLES,
     **PIPELINE_ORACLES,
 }

@@ -200,6 +200,10 @@ EXPECTED: dict[str, dict] = {
     # tests/test_similarity.py::test_semdedup_runtime_reuse_and_subset.
     # BNLJ = the whitelisted 1-row broadcast-centroids crossJoin.
     "semdedup_clusters": {"scans": 12, "exch": 34, "bnlj": True},
+    # final-r5 volume-anomaly monitor: the daily pre-aggregate (one
+    # corpus exchange with map-side partials) collapses the stream to
+    # |types| x |days| rows BEFORE the trailing window's tiny repartition
+    "volume_anomaly_check": {"scans": 1, "exch": 2},
     # final-r5 JSON-payload validation: the pii planting shape — one scan,
     # one event_type exchange, all parsing a single JVM-side from_json
     # (Jackson) per row; no per-row Python may appear

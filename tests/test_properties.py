@@ -307,3 +307,59 @@ def test_sessionize_split_equals_plain(spark, events, chunk_s):
         ).collect()
     }
     assert got == plain, f"chunk={chunk_s}"
+
+
+def _py_dup_spans(docs: list[tuple[int, str]], k: int) -> dict:
+    """Pure-Python mirror of dedup.cross_doc_dup_spans: k-token shingles,
+    cross-doc duplicated = in >= 2 distinct docs, adjacent (gap <= k)
+    duplicated positions merge to maximal spans."""
+    toks = {
+        i: (t.strip().lower().split() if t.strip() else []) for i, t in docs
+    }
+    owners: dict = {}
+    for i, t in toks.items():
+        for p in range(len(t) - k + 1):
+            owners.setdefault(tuple(t[p : p + k]), set()).add(i)
+    out = {}
+    for i, t in toks.items():
+        dup_pos = [
+            p
+            for p in range(len(t) - k + 1)
+            if len(owners[tuple(t[p : p + k])]) >= 2
+        ]
+        if not dup_pos:
+            continue
+        spans = []
+        start = prev = dup_pos[0]
+        for p in dup_pos[1:]:
+            if p - prev > k:
+                spans.append((start, prev))
+                start = p
+            prev = p
+        spans.append((start, prev))
+        out[i] = (len(spans), sum(b - a + k for a, b in spans))
+    return out
+
+
+_span_doc = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(_span_doc, min_size=1, max_size=10))
+def test_cross_doc_dup_spans_match_python(spark, batch):
+    """The distributed span operator agrees with an independent pure-Python
+    mirror on arbitrary docs over a tiny alphabet (which forces heavy
+    shingle collisions — the worst case for the dup-set join and the span
+    merge), including empty docs, all-duplicate corpora, and single-doc
+    batches where NOTHING is cross-doc duplicated."""
+    from mlops_drift_detection_spark.functions.dedup import cross_doc_dup_spans
+
+    docs = list(enumerate(batch))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in cross_doc_dup_spans(df, "doc_id", "text", k=3).collect()
+    }
+    assert got == _py_dup_spans(docs, k=3)

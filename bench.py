@@ -97,6 +97,7 @@ EXTRAS_GROUP = [
     "semdedup_clusters",
     "json_conformance_profile",
     "volume_anomaly_check",
+    "source_fork_pairs",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

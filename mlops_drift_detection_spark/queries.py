@@ -1878,7 +1878,7 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #   r04 window: the 13 r03-parked stayed out (rows now 1 round stale);
 #               5 never-checked + 2 new entries led.
 #   r05 window (this ordering): all never-checked round-5 entries lead
-#               (25 by end of round — each late addition displaced one
+#               (26 by end of round — each late addition displaced one
 #               r04-green entry to the buffer with its rationale inline),
 #               then the 13 r03-only entries rotated back in, then 12
 #               r04-green core-surface entries. Every buffered entry has
@@ -1973,6 +1973,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "onehot_proportions": q_onehot_proportions,
     "impute_median": q_impute_median,
     "dropna_residual": q_dropna_residual,
+    # source_fork_pairs (never checked -> leads this block) displaces
+    # embedding_neardup_exact (r04-green) to the buffer: the exact-cosine
+    # pair kernel stays in-window via semdedup_clusters (whose within-
+    # cluster dup pairs ARE exact cosine >= t, oracled against the same
+    # recipe) and ann_lsh_topk keeps the embedding-similarity surface.
+    "source_fork_pairs": PIPELINE_QUERIES["source_fork_pairs"],
     # -- r04-green entries kept in-window (single green row, or complex
     #    operators worth continuous driver signal)
     **{
@@ -1983,7 +1989,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "curated_corpus_stats",
             "weighted_sample_docs",
             "minhash_lsh_jaccard",
-            "embedding_neardup_exact",
             "ann_lsh_topk",
         )
     },
@@ -2009,6 +2014,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # _split twins, which share the same DuckDB oracles, and exact-Jaccard
     # join semantics via minhash_lsh_jaccard's verify stage.)
     # ------------------------------------------------------------------
+    # embedding_neardup_exact parked (r04-green) for source_fork_pairs
+    # (see the inline comment where it leads its window block)
+    "embedding_neardup_exact": PIPELINE_QUERIES["embedding_neardup_exact"],
     # multi_feature_drift and ann_ivf_trained_topk parked (r04-green) for
     # the final-r5 dup_span_profile + fd_source_lang_check (see the window
     # comment at the head of the dict)

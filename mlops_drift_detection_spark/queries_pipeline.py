@@ -1838,6 +1838,116 @@ FROM flagged GROUP BY source
 """
 
 
+def q_source_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repository/fork-level set-similarity dedup — the step a source-code
+    corpus runs BEFORE file-level dedup (The Stack, Kocetkov et al. 2022,
+    collapses near-identical repositories — forks — by the Jaccard of their
+    file-content sets; the reference's per-source grouping in
+    `src/monitoring/drift_detector.py` motivates source as the repo analog):
+    each source is the SET of its docs' bag-of-words fingerprints; emit
+    source pairs whose set Jaccard >= 0.02 as fork candidates, with the
+    shared-fingerprint count and both true set sizes.
+
+    Plan (the capped groupBy+array-explode pair shape of minhash/winnow —
+    never a self-join): one scan -> distinct (fp, source) [the one
+    corpus-sized exchange; BOTH downstream branches hang off it, so the
+    physical plan reuses the exchange rather than re-scanning] -> branch 1:
+    per-source set sizes (tiny rollup); branch 2: fp-keyed groupBy with a
+    STOP-DIGEST cap — a fingerprint present in > 8 sources (this fixture
+    plants one in 17 of 20; at corpus scale it is LICENSE files, generated
+    lockfiles, vendored boilerplate) is EXCLUDED from pair generation,
+    exactly like stopword removal in set-similarity joins (Chaudhuri et al.
+    2006): without it one viral digest contributes a quadratic pair square
+    over every repo that carries it. Shared counts are therefore a
+    conservative UNDERCOUNT while set sizes stay true, so the reported
+    jaccard is a lower bound — a capped pair can only be promoted, never
+    demoted, by the dropped digests. Pair counts then pick up the two size
+    lookups (plain joins on source; the size table is |repos| rows — AQE
+    sizes the strategy, no forced broadcast)."""
+    docs = _t(spark, sf_dir, "documents")
+    # The explicit isNotNull is semantically a no-op (the inner size joins
+    # drop null-source rows anyway) but it matters physically: the size
+    # branches get isnotnull(source) pushed below their aggregates as join
+    # prerequisites, and without the same filter on the pair branch the
+    # three distinct-subtree instances canonicalize DIFFERENTLY, so runtime
+    # ReuseExchange cannot collapse them. With it, all three consumers hang
+    # off ONE distinct exchange: single corpus scan (verified in the final
+    # adaptive plan; explain_audit locks the static shape).
+    pfs = (
+        docs.where(F.col("source").isNotNull())
+        .select(wordset_fingerprint(F.col("text")).alias("fp"), F.col("source"))
+        .distinct()
+    )
+    sizes = pfs.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
+    buckets = (
+        pfs.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("source")).alias("srcs"))
+        .where((F.size("srcs") > 1) & (F.size("srcs") <= 8))
+    )
+    shared = (
+        buckets.select(
+            F.explode(_pairs_from_sorted_ids(F.col("srcs"))).alias("p")
+        )
+        .select(
+            F.col("p.id_a").alias("source_a"), F.col("p.id_b").alias("source_b")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    za = sizes.withColumnRenamed("source", "source_a").withColumnRenamed(
+        "n_fps", "n_a"
+    )
+    zb = sizes.withColumnRenamed("source", "source_b").withColumnRenamed(
+        "n_fps", "n_b"
+    )
+    jac = F.col("shared_fps") / (F.col("n_a") + F.col("n_b") - F.col("shared_fps"))
+    return (
+        shared.join(za, "source_a")
+        .join(zb, "source_b")
+        .where(jac >= 0.02)
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# literal mirror: same fingerprint, same 2..8 stop-digest band, same
+# pre-cap set sizes; DuckDB varchar compare == Java string compare on the
+# ASCII source names, so a.source < b.source pairs identically
+SQL_SOURCE_FORK_PAIRS = r"""
+WITH pfs AS (
+  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)),'\s+'))),' ')) AS fp,
+         source
+  FROM documents
+),
+sz AS (SELECT source, count(*) AS n_fps FROM pfs GROUP BY source),
+kept AS (
+  SELECT fp, source FROM pfs
+  QUALIFY count(*) OVER (PARTITION BY fp) BETWEEN 2 AND 8
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_fps,
+       CAST(za.n_fps AS BIGINT) AS n_a,
+       CAST(zb.n_fps AS BIGINT) AS n_b,
+       round(shared_fps::DOUBLE / (za.n_fps + zb.n_fps - shared_fps), 6)
+         AS jaccard
+FROM pairs
+JOIN sz za ON source_a = za.source
+JOIN sz zb ON source_b = zb.source
+WHERE shared_fps::DOUBLE / (za.n_fps + zb.n_fps - shared_fps) >= 0.02
+"""
+
+
 def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING stateful exact-dedup (§2.9 breadth beyond the drift
     topology): documents replayed as a file stream (several part files,
@@ -2551,6 +2661,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampling_mixture_weights": q_sampling_mixture_weights,
     "unigram_perplexity_profile": q_unigram_perplexity_profile,
     "cross_source_dup_rate": q_cross_source_dup_rate,
+    "source_fork_pairs": q_source_fork_pairs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "language_id_counts": q_language_id_counts,
     "token_counts_by_source": q_token_counts_by_source,
@@ -2591,6 +2702,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sampling_mixture_weights": SQL_SAMPLING_MIXTURE_WEIGHTS,
     "unigram_perplexity_profile": SQL_UNIGRAM_PERPLEXITY_PROFILE,
     "cross_source_dup_rate": SQL_CROSS_SOURCE_DUP_RATE,
+    "source_fork_pairs": SQL_SOURCE_FORK_PAIRS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "language_id_counts": SQL_LANGUAGE_ID_COUNTS,
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,

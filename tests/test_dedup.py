@@ -351,3 +351,59 @@ def test_cross_doc_dup_spans_merge_and_gap(spark):
     assert out[1] == (2, 10)
     assert out[2] == (1, 5)
     assert 3 not in out
+
+
+def test_source_fork_pairs_planted(spark, tmp_path):
+    """Fork detection over planted sources: srcA/srcB share 2 of their 4
+    wordset fingerprints (jaccard 2/6); one of the shared texts is a token
+    REORDERING on the B side (bag-of-words identity, not byte identity) and
+    srcA carries one internal duplicate (distinct -> set size still 4). A
+    boilerplate text planted into NINE sources trips the >8 stop-digest cap,
+    so none of those nine pair with anything despite a raw jaccard of 1/3."""
+    from mlops_drift_detection_spark.queries_pipeline import q_source_fork_pairs
+
+    rows = [
+        ("srcA", "alpha beta"),
+        ("srcA", "beta alpha beta"),   # same word SET as the first -> 1 fp
+        ("srcA", "gamma delta"),
+        ("srcA", "epsilon zeta"),
+        ("srcA", "eta theta"),
+        ("srcB", "beta alpha"),        # reordered srcA fp -> shared
+        ("srcB", "gamma delta"),       # byte-identical -> shared
+        ("srcB", "iota kappa"),
+        ("srcB", "lam mu"),
+        ("srcC", "nu xi"),             # no overlap with anyone
+    ]
+    # boilerplate carried by 9 sources (> cap 8): must generate NO pairs
+    for i in range(9):
+        rows.append((f"boiler{i}", "license text of the vendored kind"))
+        rows.append((f"boiler{i}", f"unique{i} filler"))
+    docs = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    ).withColumn("lang", F.lit("en"))
+    out = str(tmp_path / "docs")
+    docs.write.parquet(f"{out}/documents.parquet")
+    got = q_source_fork_pairs(spark, out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["source_a"], r["source_b"]) == ("srcA", "srcB")
+    assert r["shared_fps"] == 2
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["jaccard"] == pytest.approx(2 / 6, abs=1e-6)
+
+
+def test_source_fork_pairs_single_scan(spark):
+    """Runtime plan lock for the fork-detection query: the static tree's
+    three distinct-subtree instances (pair branch + two size lookups)
+    canonicalize identically (the explicit isNotNull matters — see the
+    query docstring), so adaptive ReuseExchange collapses them onto ONE
+    corpus FileScan; the audit locks the 3-scan static shape."""
+    from mlops_drift_detection_spark.queries_pipeline import q_source_fork_pairs
+
+    df = q_source_fork_pairs(spark, "/root/testdata/sf0.001")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert final.count("ReusedExchange") == 2

@@ -219,6 +219,13 @@ EXPECTED: dict[str, dict] = {
     # demote to SortAggregate, but over the already-sorted pair-count
     # aggregate, never over raw rows).
     "fd_source_lang_check": {"scans": 1, "exch": 2},
+    # final-r5 fork detection: static tree = pair branch + two size-lookup
+    # branches (3 scans); at runtime all three hang off ONE distinct
+    # exchange (identical canonicalization via the explicit isNotNull —
+    # see the query docstring) and collapse to a single FileScan +
+    # 2 ReusedExchange — pytest-locked in
+    # tests/test_dedup.py::test_source_fork_pairs_single_scan.
+    "source_fork_pairs": {"scans": 3, "exch": 9},
 }
 
 AUDITED = list(EXPECTED)

@@ -98,6 +98,7 @@ EXTRAS_GROUP = [
     "json_conformance_profile",
     "volume_anomaly_check",
     "source_fork_pairs",
+    "containment_join",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

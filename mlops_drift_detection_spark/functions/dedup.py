@@ -369,6 +369,94 @@ def prefix_bucket_stats(
     )
 
 
+def containment_prefix_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = 3,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC set-containment join: ordered pairs (a, b), a != b, with
+    ``C(a->b) = |S(a) ∩ S(b)| / |S(a)| >= t`` over distinct n-gram sets —
+    the quote/subsumption detector symmetric Jaccard cannot express: a short
+    doc wholly quoted inside a much longer one has J ~ |A|/|B| (arbitrarily
+    small) but containment 1.0. This is the dedup rule for nested crawl
+    records and re-posted excerpts (containment variant of the SSJoin
+    family: Chaudhuri et al. ICDE'06; Agrawal et al. WWW'10 use the same
+    probe-prefix/full-index asymmetry).
+
+    Candidate generation adapts the prefix-filter lemma to asymmetry: a
+    qualifying pair shares ``>= ceil(t*|A|)`` grams, so probing with A's
+    prefix of length ``|A| - ceil(t*|A|) + 1`` (global df-ascending order,
+    rarest first) against a FULL inverted index of all docs' grams is
+    complete — only the PROBE side may be prefixed, because the bound is in
+    |A| alone (prefix-filtering the index side needs t*|B| overlap, which
+    containment does not guarantee). Verification then computes the exact
+    containment on the distinct candidate set; the result EQUALS the
+    exhaustive ordered-pairs join (the DuckDB oracle) whenever the
+    ``max_gram_df`` stop-gram cap does not fire.
+
+    ``max_gram_df`` drops viral grams (df above the cap) from probe AND
+    index. The lemma survives the drop (the surviving prefix still
+    pigeonholes: B missing the whole surviving prefix caps the surviving
+    overlap below ``ceil(t*|A|) - n_dropped_A``), EXCEPT for pairs whose
+    entire intersection was capped away — the same documented
+    incompleteness as every stop-digest path here; audit via gram df before
+    relying on a cap at production scale.
+
+    Shuffle shape at 100 TB: gram-df groupBy (map-side combine) -> per-doc
+    re-aggregation for the ordered prefix -> one gram-keyed probe-index
+    join whose per-gram cost is |probe(g)| x |index(g)| (bounded by the
+    cap; prefix theory keeps probe(g) small because a gram only enters a
+    prefix when rare-for-its-doc) -> distinct candidates -> two set joins
+    for exact verification. No self-join of the corpus ever happens."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+    )
+    toks = sets.select("id", F.size("grams").alias("sz"), F.explode("grams").alias("g"))
+    freq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    if max_gram_df is not None:
+        freq = freq.where(F.col("df") <= max_gram_df)
+    kept = toks.join(freq, "g")
+    ordered = kept.groupBy("id", "sz").agg(
+        F.array_sort(F.collect_list(F.struct("df", "g"))).alias("og")
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefixes = ordered.select(
+        F.col("id").alias("id_contained"),
+        F.explode(
+            F.slice(F.transform("og", lambda s: s["g"]), F.lit(1), plen)
+        ).alias("g"),
+    )
+    index = kept.select(F.col("id").alias("id_container"), "g")
+    cands = (
+        prefixes.join(index, "g")
+        .where(F.col("id_contained") != F.col("id_container"))
+        .select("id_contained", "id_container")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            sets.select(F.col("id").alias("id_contained"), F.col("grams").alias("ga")),
+            "id_contained",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_container"), F.col("grams").alias("gb")),
+            "id_container",
+        )
+        .select(
+            "id_contained",
+            "id_container",
+            (
+                F.size(F.array_intersect("ga", "gb")) / F.size("ga")
+            ).alias("containment"),
+        )
+    )
+    return verified.where(F.col("containment") >= threshold)
+
+
 def _fnv1a64(data: bytes) -> int:
     h = 0xCBF29CE484222325
     for byte in data:

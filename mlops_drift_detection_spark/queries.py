@@ -1878,7 +1878,7 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #   r04 window: the 13 r03-parked stayed out (rows now 1 round stale);
 #               5 never-checked + 2 new entries led.
 #   r05 window (this ordering): all never-checked round-5 entries lead
-#               (26 by end of round — each late addition displaced one
+#               (27 by end of round — each late addition displaced one
 #               r04-green entry to the buffer with its rationale inline),
 #               then the 13 r03-only entries rotated back in, then 12
 #               r04-green core-surface entries. Every buffered entry has
@@ -1979,6 +1979,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cluster dup pairs ARE exact cosine >= t, oracled against the same
     # recipe) and ann_lsh_topk keeps the embedding-similarity surface.
     "source_fork_pairs": PIPELINE_QUERIES["source_fork_pairs"],
+    # containment_join (never checked -> leads) displaces
+    # minhash_lsh_jaccard (r04-green) to the buffer: the banded-LSH pair
+    # stage stays in-window via neardup_clusters + curated_neardup_corpus
+    # (both embed minhash_lsh_candidates with the same banding and oracle
+    # chain), and exact set-overlap verification via this entry itself.
+    "containment_join": PIPELINE_QUERIES["containment_join"],
     # -- r04-green entries kept in-window (single green row, or complex
     #    operators worth continuous driver signal)
     **{
@@ -1988,7 +1994,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "curated_neardup_corpus",
             "curated_corpus_stats",
             "weighted_sample_docs",
-            "minhash_lsh_jaccard",
             "ann_lsh_topk",
         )
     },
@@ -2017,6 +2022,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # embedding_neardup_exact parked (r04-green) for source_fork_pairs
     # (see the inline comment where it leads its window block)
     "embedding_neardup_exact": PIPELINE_QUERIES["embedding_neardup_exact"],
+    # minhash_lsh_jaccard parked (r04-green) for containment_join
+    # (see the inline comment where it leads its window block)
+    "minhash_lsh_jaccard": PIPELINE_QUERIES["minhash_lsh_jaccard"],
     # multi_feature_drift and ann_ivf_trained_topk parked (r04-green) for
     # the final-r5 dup_span_profile + fd_source_lang_check (see the window
     # comment at the head of the dict)

@@ -2343,6 +2343,52 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
 """
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC 3-gram set-containment pairs (C(a->b) >= 0.9) via the
+    probe-prefix / full-index adaptation of prefix filtering — the
+    quote/subsumption detector Jaccard cannot express (see
+    functions.dedup.containment_prefix_join): a short doc fully quoted
+    inside a long one has near-zero Jaccard but containment 1.0.
+
+    Like ngram_jaccard_join, the operator is exact and complete at this
+    scale, so the oracle is the EXHAUSTIVE ordered-pairs containment join —
+    any prefix-probe incompleteness shows up as a hash mismatch. The
+    stop-gram cap (2000) cannot fire: a gram's df never exceeds the table's
+    500 rows. Same doc_id < 500 scope as the Jaccard twin."""
+    from mlops_drift_detection_spark.functions.dedup import (
+        containment_prefix_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pairs = containment_prefix_join(
+        docs, "text", "doc_id", threshold=0.9, n=3, max_gram_df=2000
+    )
+    return pairs.select(
+        "id_contained",
+        "id_container",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+# exhaustive ordered-pairs containment — the ground truth the prefix-probe
+# join must EQUAL (grams mirror functions.dedup.shingles(k=3) exactly,
+# including the < 3-token whole-text fallback); normalizer is |S(a)| alone
+SQL_CONTAINMENT_JOIN = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)),'\s+') AS ts
+           FROM documents WHERE doc_id < 500),
+g AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(ts) >= 3
+               THEN [array_to_string(ts[i+1:i+3],' ') FOR i IN range(0, len(ts)-2)]
+               ELSE [array_to_string(ts,' ')] END) AS grams
+      FROM t),
+p AS (SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+             len(list_intersect(a.grams,b.grams))::DOUBLE / len(a.grams) AS c
+      FROM g a JOIN g b ON a.doc_id <> b.doc_id)
+SELECT id_contained, id_container, round(c, 6) AS containment
+FROM p WHERE c >= 0.9
+"""
+
+
 def q_curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pipeline — the composition a training-data run
     actually executes, as ONE plan: exact dedup (md5 doc fingerprint,
@@ -2667,6 +2713,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_by_source": q_token_counts_by_source,
     "winnow_fingerprint_pairs": q_winnow_fingerprint_pairs,
     "ngram_jaccard_join": q_ngram_jaccard_join,
+    "containment_join": q_containment_join,
     "neardup_clusters": q_neardup_clusters,
     "curated_neardup_corpus": q_curated_neardup_corpus,
     "curated_corpus_stats": q_curated_corpus_stats,
@@ -2708,6 +2755,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "token_counts_by_source": SQL_TOKEN_COUNTS_BY_SOURCE,
     "winnow_fingerprint_pairs": SQL_WINNOW_FINGERPRINT_PAIRS,
     "ngram_jaccard_join": SQL_NGRAM_JACCARD_JOIN,
+    "containment_join": SQL_CONTAINMENT_JOIN,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "curated_neardup_corpus": SQL_CURATED_NEARDUP_CORPUS,
     "curated_corpus_stats": SQL_CURATED_CORPUS_STATS,

@@ -407,3 +407,34 @@ def test_source_fork_pairs_single_scan(spark):
     final = executed.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
     assert final.count("ReusedExchange") == 2
+
+
+def test_containment_join_asymmetric(spark):
+    """The case Jaccard cannot express: a short doc fully quoted inside a
+    long one. C(short->long) = 1.0 while the long->short direction and the
+    symmetric Jaccard both stay far below threshold."""
+    df = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4"),                                   # 2 grams
+            (2, "x1 x2 t1 t2 t3 t4 y1 y2 y3 y4 y5 y6"),           # 10 grams
+            (3, "u1 u2 u3 u4 u5"),                                 # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = D.containment_prefix_join(
+        df, "text", "doc_id", threshold=0.9, n=3
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_contained"], r["id_container"]) == (1, 2)
+    assert r["containment"] == pytest.approx(1.0)
+    # the same pair under symmetric Jaccard is nowhere near a dedup
+    # threshold — 2 shared of 10 union grams
+    j = D.ngram_jaccard(
+        df,
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+        "text",
+        "doc_id",
+        n=3,
+    ).collect()[0]["jaccard"]
+    assert j == pytest.approx(0.2)

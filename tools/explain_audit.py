@@ -226,6 +226,17 @@ EXPECTED: dict[str, dict] = {
     # 2 ReusedExchange — pytest-locked in
     # tests/test_dedup.py::test_source_fork_pairs_single_scan.
     "source_fork_pairs": {"scans": 3, "exch": 9},
+    # final-r5 containment join: 6 static scans = the pruned (doc_id, text)
+    # gram projection recomputed per consumer branch (df + prefix + index +
+    # both verify sides) — the documented narrow-branch recompute trade
+    # (caching the gram sets would pin corpus-scale state; `ngram_jaccard`
+    # exposes opt-in cache=True for callers who want it). Every aggregate
+    # over the exploded gram stream must stay hash-based.
+    "containment_join": {
+        "scans": 6,
+        "exch": 9,
+        "not_contains": ["SortAggregate"],
+    },
 }
 
 AUDITED = list(EXPECTED)

@@ -99,6 +99,7 @@ EXTRAS_GROUP = [
     "volume_anomaly_check",
     "source_fork_pairs",
     "containment_join",
+    "order_reconciliation",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

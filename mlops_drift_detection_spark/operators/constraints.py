@@ -344,3 +344,61 @@ def functional_dependency_profile(
         (F.col("n_rows") - F.col("__mn")).alias("n_violations"),
         (F.col(f"n_distinct_{dependent}") == 1).alias("fd_holds"),
     )
+
+
+def aggregate_reconciliation_profile(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_total: Column,
+    child_amount: Column,
+    group_col: str,
+    tol: float = 0.01,
+) -> DataFrame:
+    """Cross-table AGGREGATE reconciliation — the "does the rollup column
+    actually equal the sum of its detail rows" check (the consistency
+    condition data-quality suites run between a fact table and its
+    pre-aggregated parent; TPC-H states the same invariant between
+    O_TOTALPRICE and the lineitem expression as its consistency condition).
+    Per ``group_col`` value: parent count, parents with NO detail rows,
+    parents whose |total - sum(detail)| exceeds ``tol``, and the max / mean
+    absolute gap over matched parents.
+
+    Money must not float: callers pass ``parent_total`` and
+    ``child_amount`` as DECIMAL-typed expressions, so the per-parent sums,
+    gaps, and threshold counts are EXACT and engine-order-independent — a
+    double sum would differ between engines (and between runs, under AQE
+    re-partitioning) in the last ulps, which is precisely the magnitude a
+    reconciliation check inspects. The only doubles in the output are final
+    casts of exact decimals (deterministic) and one mean quotient, both
+    rounded at >= their exact scale.
+
+    Scale shape: ONE child shuffle (groupBy child_key, map-side partial
+    sums), one parent-key join (AQE-planned; both sides hash on the key),
+    one |groups|-sized rollup. A mega-parent with 10^9 detail rows
+    collapses to one sum row before the join, so parent-side skew cannot
+    make a hot task."""
+    sums = child.groupBy(F.col(child_key).alias(parent_key)).agg(
+        F.sum(child_amount).alias("__s")
+    )
+    base = parent.select(
+        group_col, parent_key, parent_total.alias("__t")
+    ).join(sums, parent_key, "left")
+    gap = F.abs(F.col("__t") - F.col("__s"))
+    matched = F.col("__s").isNotNull()
+    return base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_parents"),
+        F.sum(F.when(~matched, 1).otherwise(0)).alias("n_no_children"),
+        F.sum(F.when(matched & (gap > tol), 1).otherwise(0)).alias(
+            "n_mismatch"
+        ),
+        F.round(F.max(gap).cast("double"), 6).alias("max_abs_gap"),
+        F.round(
+            (
+                F.sum(F.when(matched, gap)).cast("double")
+                / F.sum(F.when(matched, 1).otherwise(0))
+            ),
+            6,
+        ).alias("avg_abs_gap"),
+    )

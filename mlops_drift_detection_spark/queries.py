@@ -605,6 +605,82 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """
 
 
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table aggregate reconciliation (the consistency condition
+    TPC-H states between O_TOTALPRICE and sum(extendedprice*(1-discount)*
+    (1+tax)) over the order's lineitems; the check family Deequ/
+    Great-Expectations run between a rollup column and its detail rows —
+    a constraint class the reference's single-table pydantic schema cannot
+    express, extending J+/A12): per o_orderstatus, how many orders exist,
+    how many have NO lineitem children, how many matched orders miss the
+    reconciliation tolerance (1 cent), and the max/mean absolute gap.
+
+    All money flows as DECIMAL (see
+    operators.constraints.aggregate_reconciliation_profile): the fixture's
+    2-decimal doubles are recovered exactly by the decimal(12,2)/(4,2)
+    casts in BOTH engines, products and per-order sums are then exact and
+    summation-order-independent, so the profile is byte-stable across
+    engines — a double pipeline would put cross-engine ulp noise at
+    exactly the magnitude a reconciliation inspects. The synthetic
+    o_totalprice is deliberately NOT derived from lineitem (every matched
+    order mismatches, 257 orders are childless at sf0.01) — the check's
+    job is to measure that, loudly."""
+    from mlops_drift_detection_spark.operators.constraints import (
+        aggregate_reconciliation_profile,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    amount = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (one - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+        * (one + F.col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
+    )
+    return aggregate_reconciliation_profile(
+        orders,
+        li,
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        parent_total=F.col("o_totalprice").cast("decimal(12,2)"),
+        child_amount=amount,
+        group_col="o_orderstatus",
+        tol=0.01,
+    )
+
+
+# literal mirror: identical decimal widths/scales, so every product, sum,
+# and gap is the same exact decimal in both engines; only the final casts
+# and the one mean quotient are doubles, rounded at >= their exact scale
+SQL_ORDER_RECONCILIATION = """
+WITH sums AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+             * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS s
+  FROM lineitem GROUP BY l_orderkey
+),
+base AS (
+  SELECT o.o_orderstatus,
+         CAST(o.o_totalprice AS DECIMAL(12,2)) AS t,
+         sums.s
+  FROM orders o LEFT JOIN sums USING (o_orderkey)
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_parents,
+       CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_children,
+       CAST(sum(CASE WHEN s IS NOT NULL AND abs(t - s) > 0.01
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       round(CAST(max(abs(t - s)) AS DOUBLE), 6) AS max_abs_gap,
+       round(CAST(sum(CASE WHEN s IS NOT NULL THEN abs(t - s) END)
+                  AS DOUBLE)
+             / sum(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END), 6)
+         AS avg_abs_gap
+FROM base GROUP BY o_orderstatus
+"""
+
+
 def q_fd_source_lang_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-column functional-dependency check source -> lang on the
     documents table (``constraints.functional_dependency_profile``): per
@@ -1878,7 +1954,7 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #   r04 window: the 13 r03-parked stayed out (rows now 1 round stale);
 #               5 never-checked + 2 new entries led.
 #   r05 window (this ordering): all never-checked round-5 entries lead
-#               (27 by end of round — each late addition displaced one
+#               (28 by end of round — each late addition displaced one
 #               r04-green entry to the buffer with its rationale inline),
 #               then the 13 r03-only entries rotated back in, then 12
 #               r04-green core-surface entries. Every buffered entry has
@@ -1985,6 +2061,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (both embed minhash_lsh_candidates with the same banding and oracle
     # chain), and exact set-overlap verification via this entry itself.
     "containment_join": PIPELINE_QUERIES["containment_join"],
+    # order_reconciliation (never checked -> leads) displaces
+    # curated_corpus_stats (r04-green) to the buffer: the exact-dup
+    # curation chain's stages stay in-window via curated_neardup_corpus
+    # (same survivor + quality-gate + stats composition over the near-dup
+    # graph) and the keep-min kernel keeps its pytest parity sweep row.
+    "order_reconciliation": q_order_reconciliation,
     # -- r04-green entries kept in-window (single green row, or complex
     #    operators worth continuous driver signal)
     **{
@@ -1992,7 +2074,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         for k in (
             "neardup_clusters",
             "curated_neardup_corpus",
-            "curated_corpus_stats",
             "weighted_sample_docs",
             "ann_lsh_topk",
         )
@@ -2025,6 +2106,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # minhash_lsh_jaccard parked (r04-green) for containment_join
     # (see the inline comment where it leads its window block)
     "minhash_lsh_jaccard": PIPELINE_QUERIES["minhash_lsh_jaccard"],
+    # curated_corpus_stats parked (r04-green) for order_reconciliation
+    # (see the inline comment where it leads its window block)
+    "curated_corpus_stats": PIPELINE_QUERIES["curated_corpus_stats"],
     # multi_feature_drift and ann_ivf_trained_topk parked (r04-green) for
     # the final-r5 dup_span_profile + fd_source_lang_check (see the window
     # comment at the head of the dict)
@@ -2089,6 +2173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "order_reconciliation": SQL_ORDER_RECONCILIATION,
     "stats_moments": SQL_STATS_MOMENTS,
     "stats_quantiles": SQL_STATS_QUANTILES,
     "null_distinct_profile": SQL_NULL_DISTINCT_PROFILE,

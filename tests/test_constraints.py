@@ -196,3 +196,51 @@ def test_functional_dependency_profile(spark):
     assert out["s3"]["majority_lang"] == "b"  # tie broken by DESC dep value
     assert out["s3"]["n_violations"] == 2
     assert out["s3"]["n_distinct_lang"] == 2
+
+
+def test_aggregate_reconciliation_profile_planted(spark):
+    """Rollup-vs-detail reconciliation over planted parents: an exact
+    match, a 2-cent mismatch, a childless parent, a gap of exactly the
+    tolerance (NOT a mismatch — strict >), and the decimal-exactness case
+    0.10 + 0.20 == 0.30 that a double pipeline would flag as a phantom
+    4.4e-17 gap."""
+    parents = spark.createDataFrame(
+        [
+            (1, "A", 100.00),
+            (2, "A", 50.00),
+            (3, "B", 10.00),   # childless
+            (4, "B", 20.01),   # gap exactly 0.01 == tol -> no mismatch
+            (5, "C", 0.30),    # decimal-exact: 0.10 + 0.20
+        ],
+        "k long, status string, total double",
+    )
+    children = spark.createDataFrame(
+        [
+            (1, 60.00), (1, 40.00),
+            (2, 49.98),
+            (4, 20.00),
+            (5, 0.10), (5, 0.20),
+        ],
+        "fk long, amt double",
+    )
+    out = {
+        r["status"]: r
+        for r in C.aggregate_reconciliation_profile(
+            parents,
+            children,
+            parent_key="k",
+            child_key="fk",
+            parent_total=F.col("total").cast("decimal(12,2)"),
+            child_amount=F.col("amt").cast("decimal(12,2)"),
+            group_col="status",
+            tol=0.01,
+        ).collect()
+    }
+    a, b, c = out["A"], out["B"], out["C"]
+    assert (a["n_parents"], a["n_no_children"], a["n_mismatch"]) == (2, 0, 1)
+    assert a["max_abs_gap"] == pytest.approx(0.02)
+    assert a["avg_abs_gap"] == pytest.approx(0.01)
+    assert (b["n_parents"], b["n_no_children"], b["n_mismatch"]) == (2, 1, 0)
+    assert b["max_abs_gap"] == pytest.approx(0.01)
+    assert (c["n_parents"], c["n_no_children"], c["n_mismatch"]) == (1, 0, 0)
+    assert c["max_abs_gap"] == 0.0  # EXACTLY zero, not 4.4e-17

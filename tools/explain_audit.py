@@ -237,6 +237,16 @@ EXPECTED: dict[str, dict] = {
         "exch": 9,
         "not_contains": ["SortAggregate"],
     },
+    # final-r5 cross-table reconciliation: exactly the two base-table scans
+    # and three exchanges (per-order partial-sum groupBy, the orderkey
+    # join's repartition, the |statuses|-row rollup); all arithmetic is
+    # decimal, which must not demote the sums to SortAggregate (decimal sum
+    # buffers stay UnsafeRow-mutable at these widths).
+    "order_reconciliation": {
+        "scans": 2,
+        "exch": 3,
+        "not_contains": ["SortAggregate"],
+    },
 }
 
 AUDITED = list(EXPECTED)

@@ -363,3 +363,49 @@ def test_cross_doc_dup_spans_match_python(spark, batch):
         for r in cross_doc_dup_spans(df, "doc_id", "text", k=3).collect()
     }
     assert got == _py_dup_spans(docs, k=3)
+
+
+def _containment_py(docs: list[list[str]], t: float, n: int = 3):
+    def grams(toks):
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    gs = [grams(d) for d in docs]
+    out = {}
+    for i in range(len(docs)):
+        for j in range(len(docs)):
+            if i == j:
+                continue
+            c = len(gs[i] & gs[j]) / len(gs[i])
+            if c >= t:
+                out[(i, j)] = c
+    return out
+
+
+@SETTINGS
+@given(
+    st.lists(doc_tokens, min_size=2, max_size=10),
+    st.sampled_from([0.5, 0.7, 0.9, 1.0]),
+)
+def test_containment_prefix_complete_on_arbitrary_docs(spark, docs, t):
+    """The asymmetric (probe-prefix vs full-index) adaptation of the
+    prefix-filter lemma, adversarially instantiated: on ARBITRARY
+    small-vocab corpora the containment join must equal the exhaustive
+    ordered-pairs answer at every threshold — both directions of every
+    pair, including containment through gram collisions."""
+    from mlops_drift_detection_spark.functions.dedup import (
+        containment_prefix_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "id long, text string"
+    )
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in containment_prefix_join(
+            df, "text", "id", threshold=t, n=3
+        ).collect()
+    }
+    want = _containment_py(docs, t)
+    assert got == want, f"t={t}: spark={got} python={want}"

@@ -100,6 +100,7 @@ EXTRAS_GROUP = [
     "source_fork_pairs",
     "containment_join",
     "order_reconciliation",
+    "json_schema_drift",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -818,6 +818,112 @@ FROM c GROUP BY event_type
 """
 
 
+def q_json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured SCHEMA drift — the key-set counterpart of the
+    value-distribution drift family: per JSON property key in the events
+    ``props`` payloads, its presence rate in the baseline half of the
+    month vs the current half, with a status verdict (``new`` /
+    ``vanished`` / ``shifted`` / ``stable``). This is the check that
+    catches a payload-schema rollout (a v2 producer adding keys) or a
+    silent field retirement, which no fixed relational schema and no
+    per-column stat can see — the schema itself is the drifting object.
+
+    Planting (pii/secrets/json-conformance discipline — the fixture's
+    payloads all carry exactly the contract key ``k``): a retiring
+    ``legacy_tag`` key on baseline-half event_id % 11, and a v2 rollout
+    adding ``schema_v`` + ``sess`` on current-half event_id % 5, with the
+    literal cutoff and residues stated identically in the oracle; the
+    required key ``k`` itself reads ``stable`` with rate_delta 0.
+
+    Scale shape: key extraction is one JVM-side ``json_object_keys`` per
+    row (Jackson; no per-row Python) -> explode -> ONE (key)-keyed
+    conditional aggregation with map-side partials (rows = |distinct
+    keys| after it); per-half row totals are a separate 1-row aggregate
+    broadcast back (the whitelisted scalar crossJoin pattern) — a column-
+    pruned (ts) re-scan, the same narrow-branch trade as the split
+    temporal operators."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    is_base = F.col("ts") < cutoff
+    aug = (
+        F.when(
+            is_base & (F.col("event_id") % 11 == 0),
+            F.lit('{"k": 1, "legacy_tag": "x"}'),
+        )
+        .when(
+            ~is_base & (F.col("event_id") % 5 == 0),
+            F.lit('{"k": 1, "schema_v": 2, "sess": "s"}'),
+        )
+        .otherwise(F.col("props"))
+    )
+    keyed = ev.select(
+        is_base.alias("b"), F.explode(F.json_object_keys(aug)).alias("prop_key")
+    )
+    counts = keyed.groupBy("prop_key").agg(
+        F.sum(F.when(F.col("b"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(~F.col("b"), 1).otherwise(0)).alias("n_curr"),
+    )
+    totals = ev.agg(
+        F.sum(F.when(is_base, 1).otherwise(0)).alias("t_base"),
+        F.sum(F.when(~is_base, 1).otherwise(0)).alias("t_curr"),
+    )
+    rb = F.col("n_base") / F.col("t_base")
+    rc = F.col("n_curr") / F.col("t_curr")
+    status = (
+        F.when(F.col("n_base") == 0, F.lit("new"))
+        .when(F.col("n_curr") == 0, F.lit("vanished"))
+        .when(F.abs(rc - rb) > 0.1, F.lit("shifted"))
+        .otherwise(F.lit("stable"))
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "prop_key",
+        "n_base",
+        "n_curr",
+        F.round(rb, 6).alias("rate_base"),
+        F.round(rc, 6).alias("rate_curr"),
+        F.round(rc - rb, 6).alias("rate_delta"),
+        status.alias("status"),
+    )
+
+
+SQL_JSON_SCHEMA_DRIFT = r"""
+WITH aug AS (
+  SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS b,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' AND event_id % 11 = 0
+                THEN '{"k": 1, "legacy_tag": "x"}'
+              WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' AND event_id % 5 = 0
+                THEN '{"k": 1, "schema_v": 2, "sess": "s"}'
+              ELSE props END AS p
+  FROM events
+),
+keyed AS (SELECT b, unnest(json_keys(p)) AS prop_key FROM aug),
+counts AS (
+  SELECT prop_key,
+         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
+  FROM keyed GROUP BY prop_key
+),
+tot AS (
+  SELECT sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END) AS t_base,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END) AS t_curr
+  FROM events
+)
+SELECT prop_key, n_base, n_curr,
+       round(n_base::DOUBLE / t_base, 6) AS rate_base,
+       round(n_curr::DOUBLE / t_curr, 6) AS rate_curr,
+       round(n_curr::DOUBLE / t_curr - n_base::DOUBLE / t_base, 6)
+         AS rate_delta,
+       CASE WHEN n_base = 0 THEN 'new'
+            WHEN n_curr = 0 THEN 'vanished'
+            WHEN abs(n_curr::DOUBLE / t_curr - n_base::DOUBLE / t_base) > 0.1
+              THEN 'shifted'
+            ELSE 'stable' END AS status
+FROM counts, tot
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: |value - mean|/std > 3 outliers (drift_detector.py:295-334)."""
     ev = _t(spark, sf_dir, "events")
@@ -1954,7 +2060,7 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #   r04 window: the 13 r03-parked stayed out (rows now 1 round stale);
 #               5 never-checked + 2 new entries led.
 #   r05 window (this ordering): all never-checked round-5 entries lead
-#               (28 by end of round — each late addition displaced one
+#               (29 by end of round — each late addition displaced one
 #               r04-green entry to the buffer with its rationale inline),
 #               then the 13 r03-only entries rotated back in, then 12
 #               r04-green core-surface entries. Every buffered entry has
@@ -2067,6 +2173,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (same survivor + quality-gate + stats composition over the near-dup
     # graph) and the keep-min kernel keeps its pytest parity sweep row.
     "order_reconciliation": q_order_reconciliation,
+    # json_schema_drift (never checked -> leads) displaces ann_lsh_topk
+    # (r04-green) to the buffer: the ANN surface stays in-window via
+    # semdedup_clusters (trained-IVF assignment + exact within-cluster
+    # cosine), and the hyperplane-LSH bucket kernel keeps its pytest
+    # parity suite and capped-bucket audit twins.
+    "json_schema_drift": q_json_schema_drift,
     # -- r04-green entries kept in-window (single green row, or complex
     #    operators worth continuous driver signal)
     **{
@@ -2075,7 +2187,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             "neardup_clusters",
             "curated_neardup_corpus",
             "weighted_sample_docs",
-            "ann_lsh_topk",
         )
     },
     # -- core drift/validation surface (green r04; psi_nchars_split and
@@ -2109,6 +2220,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # curated_corpus_stats parked (r04-green) for order_reconciliation
     # (see the inline comment where it leads its window block)
     "curated_corpus_stats": PIPELINE_QUERIES["curated_corpus_stats"],
+    # ann_lsh_topk parked (r04-green) for json_schema_drift
+    # (see the inline comment where it leads its window block)
+    "ann_lsh_topk": PIPELINE_QUERIES["ann_lsh_topk"],
     # multi_feature_drift and ann_ivf_trained_topk parked (r04-green) for
     # the final-r5 dup_span_profile + fd_source_lang_check (see the window
     # comment at the head of the dict)
@@ -2174,6 +2288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "order_reconciliation": SQL_ORDER_RECONCILIATION,
+    "json_schema_drift": SQL_JSON_SCHEMA_DRIFT,
     "stats_moments": SQL_STATS_MOMENTS,
     "stats_quantiles": SQL_STATS_QUANTILES,
     "null_distinct_profile": SQL_NULL_DISTINCT_PROFILE,

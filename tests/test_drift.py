@@ -299,3 +299,42 @@ def test_fused_n_feature_drift_single_scan(spark, tmp_path):
     n_features = len(snap.numerical) + len(snap.categorical) + len(snap.binary)
     assert n_features == 6
     assert sep_plan.count("Scan parquet") == n_features
+
+
+def test_json_schema_drift_shifted_status(spark, tmp_path):
+    """Planted events exercising every status the catalog fixture cannot:
+    key `ab` drops from 2/3 presence to 1/3 (-> shifted), `k` stays at
+    1.0 (-> stable). Event ids avoid the catalog query's planting
+    residues (% 11 in the baseline half, % 5 in the current half) so the
+    planted payloads pass through unmodified."""
+    from mlops_drift_detection_spark.queries import q_json_schema_drift
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-10 00:00:00", '{"k": 1, "ab": 1}'),
+        (2, "2024-01-10 00:00:00", '{"k": 1, "ab": 1}'),
+        (3, "2024-01-10 00:00:00", '{"k": 1}'),
+        (6, "2024-01-20 00:00:00", '{"k": 1}'),
+        (7, "2024-01-20 00:00:00", '{"k": 1}'),
+        (8, "2024-01-20 00:00:00", '{"k": 1, "ab": 1}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, props string"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit(1).alias("user_id"),
+        F.lit("t").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        "props",
+    )
+    out = str(tmp_path / "ev")
+    ev.write.parquet(f"{out}/events.parquet")
+    got = {r["prop_key"]: r for r in q_json_schema_drift(spark, out).collect()}
+    assert set(got) == {"k", "ab"}
+    assert got["k"]["status"] == "stable"
+    assert got["k"]["rate_delta"] == 0.0
+    ab = got["ab"]
+    assert ab["status"] == "shifted"
+    assert (ab["n_base"], ab["n_curr"]) == (2, 1)
+    assert ab["rate_delta"] == pytest.approx(1 / 3 - 2 / 3, abs=1e-6)

@@ -247,6 +247,17 @@ EXPECTED: dict[str, dict] = {
         "exch": 3,
         "not_contains": ["SortAggregate"],
     },
+    # final-r5 JSON schema drift: keys branch (scan 1: json_object_keys ->
+    # explode -> one key-keyed conditional aggregation) + the per-half
+    # row-totals branch (scan 2, pruned to (event_id, ts)); BNLJ is the
+    # whitelisted 1-row scalar-totals broadcast crossJoin. Key extraction
+    # must stay a JVM-side Jackson call — no per-row Python.
+    "json_schema_drift": {
+        "scans": 2,
+        "exch": 3,
+        "bnlj": True,
+        "not_contains": ["BatchEvalPython", "ArrowEvalPython"],
+    },
 }
 
 AUDITED = list(EXPECTED)

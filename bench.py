@@ -101,6 +101,7 @@ EXTRAS_GROUP = [
     "containment_join",
     "order_reconciliation",
     "json_schema_drift",
+    "funnel_conversion",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -924,6 +924,121 @@ FROM counts, tot
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence (funnel) analysis — the sequence-analytics
+    family (product-analytics funnels; SQL MATCH_RECOGNIZE territory,
+    which Spark lacks as a built-in): of the users who ever ``view``, how
+    many go on to ``click`` within 24 h of their FIRST view, and then
+    ``purchase`` within 24 h of that first qualifying click. One row per
+    step with user counts, conversion vs the funnel start, and vs the
+    previous step. First-touch chaining semantics (min view, then min
+    qualifying click strictly after it, then min qualifying purchase
+    strictly after that), stated identically in the oracle.
+
+    Scale shape — joins/aggs ONLY, never a per-user event-array collect (a
+    hot user with 10^8 events would blow any collect_list funnel): each
+    step is a type-filtered scan (the equality predicate reaches the
+    parquet reader) -> user-keyed min aggregate -> 1:1 join to the
+    previous step's one-row-per-user frame, so no join can fan out. The
+    final rates run as an unpartitioned window over the THREE-row step
+    union — the established single-partition-window-over-tiny-aggregate
+    pattern."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("step"), F.lit("view").alias("step_name"), "n_users"
+        )
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("step"),
+                F.lit("click").alias("step_name"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("step"),
+                F.lit("purchase").alias("step_name"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("step")
+    wall = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(F.col("n_users") / F.first("n_users").over(wall), 6).alias(
+            "rate_vs_start"
+        ),
+        F.round(F.col("n_users") / F.lag("n_users").over(w), 6).alias(
+            "rate_vs_prev"
+        ),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+),
+steps AS (
+  SELECT 1 AS step, 'view' AS step_name,
+         CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT step, step_name, n_users,
+       round(n_users::DOUBLE
+             / first_value(n_users) OVER (ORDER BY step), 6)
+         AS rate_vs_start,
+       round(n_users::DOUBLE / lag(n_users) OVER (ORDER BY step), 6)
+         AS rate_vs_prev
+FROM steps
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: |value - mean|/std > 3 outliers (drift_detector.py:295-334)."""
     ev = _t(spark, sf_dir, "events")
@@ -2060,7 +2175,7 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #   r04 window: the 13 r03-parked stayed out (rows now 1 round stale);
 #               5 never-checked + 2 new entries led.
 #   r05 window (this ordering): all never-checked round-5 entries lead
-#               (29 by end of round — each late addition displaced one
+#               (30 by end of round — each late addition displaced one
 #               r04-green entry to the buffer with its rationale inline),
 #               then the 13 r03-only entries rotated back in, then 12
 #               r04-green core-surface entries. Every buffered entry has
@@ -2179,6 +2294,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cosine), and the hyperplane-LSH bucket kernel keeps its pytest
     # parity suite and capped-bucket audit twins.
     "json_schema_drift": q_json_schema_drift,
+    # funnel_conversion (never checked -> leads) displaces psi_lang_split
+    # (r04-green) to the buffer: the PSI reduce stays in-window via
+    # drift_verdicts (the flagship composite runs the identical
+    # reference-exact PSI operator over both drift columns) plus the
+    # per-metric split family (wasserstein/chisq/jsd/quantile-shift).
+    "funnel_conversion": q_funnel_conversion,
     # -- r04-green entries kept in-window (single green row, or complex
     #    operators worth continuous driver signal)
     **{
@@ -2193,7 +2314,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    ks_nchars_split parked to the buffer to make room for the two
     #    late-r5 entries — the split-PSI/KS family stays in-window via
     #    psi_lang_split + drift_verdicts + multi_feature_drift)
-    "psi_lang_split": q_psi_lang_split,
     "drift_verdicts": q_drift_verdicts,
     "asof_join_events_split": q_asof_join_events_split,
     "sessionized_events_split": q_sessionized_events_split,
@@ -2223,6 +2343,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ann_lsh_topk parked (r04-green) for json_schema_drift
     # (see the inline comment where it leads its window block)
     "ann_lsh_topk": PIPELINE_QUERIES["ann_lsh_topk"],
+    # psi_lang_split parked (r04-green) for funnel_conversion
+    # (see the inline comment where it leads its window block)
+    "psi_lang_split": q_psi_lang_split,
     # multi_feature_drift and ann_ivf_trained_topk parked (r04-green) for
     # the final-r5 dup_span_profile + fd_source_lang_check (see the window
     # comment at the head of the dict)
@@ -2288,6 +2411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "order_reconciliation": SQL_ORDER_RECONCILIATION,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "json_schema_drift": SQL_JSON_SCHEMA_DRIFT,
     "stats_moments": SQL_STATS_MOMENTS,
     "stats_quantiles": SQL_STATS_QUANTILES,

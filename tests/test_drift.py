@@ -338,3 +338,42 @@ def test_json_schema_drift_shifted_status(spark, tmp_path):
     assert ab["status"] == "shifted"
     assert (ab["n_base"], ab["n_curr"]) == (2, 1)
     assert ab["rate_delta"] == pytest.approx(1 / 3 - 2 / 3, abs=1e-6)
+
+
+def test_funnel_conversion_first_touch_semantics(spark, tmp_path):
+    """Funnel chaining is FIRST-touch: user 2's click lands 25 h after
+    their first view and so misses the step window, even though a second,
+    later view would have qualified it; user 3 clicks and purchases but
+    never views, so they appear nowhere."""
+    from mlops_drift_detection_spark.queries import q_funnel_conversion
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 05:00:00"),
+        (1, "purchase", "2024-01-01 06:00:00"),
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 12:00:00"),     # later view must NOT re-anchor
+        (2, "click", "2024-01-02 01:00:00"),    # 25 h after FIRST view
+        (3, "click", "2024-01-01 01:00:00"),    # no view at all
+        (3, "purchase", "2024-01-01 02:00:00"),
+        (4, "view", "2024-01-01 02:00:00"),
+        (4, "purchase", "2024-01-01 03:00:00"),  # skipped the click step
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string"
+    ).select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = str(tmp_path / "ev")
+    ev.write.parquet(f"{out}/events.parquet")
+    got = {r["step"]: r for r in q_funnel_conversion(spark, out).collect()}
+    assert [got[s]["n_users"] for s in (1, 2, 3)] == [3, 1, 1]
+    assert got[1]["rate_vs_prev"] is None
+    assert got[2]["rate_vs_start"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3]["rate_vs_prev"] == pytest.approx(1.0)

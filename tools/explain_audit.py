@@ -258,6 +258,12 @@ EXPECTED: dict[str, dict] = {
         "bnlj": True,
         "not_contains": ["BatchEvalPython", "ArrowEvalPython"],
     },
+    # final-r5 funnel: every one of the 6 static scans is a type-filtered
+    # narrow scan (equality predicate pushed to the parquet reader — at
+    # corpus scale each reads only its event type's row groups); the step
+    # frames are 1-row-per-user aggregates so no join fans out, and the
+    # rate window runs over the 3-row step union.
+    "funnel_conversion": {"scans": 6, "exch": 11},
 }
 
 AUDITED = list(EXPECTED)

@@ -102,6 +102,8 @@ EXTRAS_GROUP = [
     "order_reconciliation",
     "json_schema_drift",
     "funnel_conversion",
+    "cohort_retention",
+    "benford_first_digit",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -1039,6 +1039,164 @@ FROM steps
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the second member of the sequence-
+    analytics family next to ``funnel_conversion``: users cohorted by the
+    DAY of their first event; for day offsets 0-7, how many of each
+    cohort were active again on cohort_day + offset, and the retention
+    rate vs the cohort's own day-0 size (1.0 at offset 0 by
+    construction — every user is active on their first day).
+
+    Scale shape: the (user, day) activity grid is DISTINCT-ed first (a
+    user with 10^6 events on one day collapses to one row before
+    anything else), the per-user first-day aggregate joins it 1:1, and
+    the (cohort, offset) rollup is |days| x 8 rows; the per-cohort rate
+    window runs over <= 8 rows per partition. Two branches of the same
+    scan (activity grid + first-day), both pruned to (user_id, ts)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = (
+        ev.distinct()
+        .join(first_day, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day"))
+        .where(F.col("day_offset").between(0, 7))
+    )
+    grid = active.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.round(
+            F.col("n_active") / F.first("n_active").over(w), 6
+        ).alias("retention_rate"),
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first_day AS (
+  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT e.user_id, e.d, f.cohort_day,
+         date_diff('day', f.cohort_day, e.d) AS day_offset
+  FROM ev e JOIN first_day f USING (user_id)
+  WHERE date_diff('day', f.cohort_day, e.d) BETWEEN 0 AND 7
+),
+grid AS (
+  SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM active GROUP BY cohort_day, day_offset
+)
+SELECT cohort_day, day_offset, n_active,
+       round(n_active::DOUBLE / first_value(n_active)
+             OVER (PARTITION BY cohort_day ORDER BY day_offset), 6)
+         AS retention_rate
+FROM grid
+"""
+
+
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit on the money column —
+    the classic forensic data-quality test (Benford 1938; Nigrini's
+    fraud-audit methodology): naturally occurring multi-scale amounts
+    follow P(d) = log10(1 + 1/d), and a synthetic, truncated, or
+    fabricated column does not. Per digit 1-9: observed count and rate,
+    the Benford expectation, the chi-square contribution, plus the total
+    chi-square and an 8-df/0.05 verdict replicated on every row. The
+    synthetic fixture's uniform-ish totalprice FAILS loudly — that is the
+    check working: it flags a column whose values were generated, not
+    accumulated.
+
+    Digit extraction is STRING-based on integer cents (first char of
+    round(x*100) as bigint) — deliberately NOT floor(x/10^floor(log10 x)):
+    libm log10 (DuckDB) and java.lang.Math.log10 (Spark) may differ by an
+    ulp at exact powers of ten, flipping the floor; integer-string heads
+    are byte-identical across engines, and scaling by 100 preserves the
+    first significant digit. ONE scan -> 9-group aggregate; the totals
+    and chi-square run as unpartitioned windows over the 9-row result."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 0.01)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    w = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum("n_obs").over(w)
+    exp_rate = F.log10(1 + 1 / F.col("digit"))
+    chisq_term = F.pow(F.col("n_obs") - total * exp_rate, 2) / (
+        total * exp_rate
+    )
+    with_terms = counts.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / total, 6).alias("obs_rate"),
+        F.round(exp_rate, 6).alias("exp_rate"),
+        F.round(chisq_term, 6).alias("chisq_term"),
+        chisq_term.alias("__t"),
+    )
+    chisq_total = F.sum("__t").over(
+        Window.orderBy("digit").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return with_terms.select(
+        "digit",
+        "n_obs",
+        "obs_rate",
+        "exp_rate",
+        "chisq_term",
+        F.round(chisq_total, 6).alias("chisq_total"),
+        (chisq_total < 15.507).alias("benford_ok"),
+    )
+
+
+SQL_BENFORD_FIRST_DIGIT = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 0.01
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+),
+t AS (
+  SELECT digit, n_obs,
+         sum(n_obs) OVER () AS total,
+         log10(1 + 1.0 / digit) AS exp_rate
+  FROM counts
+),
+terms AS (
+  SELECT digit, n_obs,
+         round(n_obs::DOUBLE / total, 6) AS obs_rate,
+         round(exp_rate, 6) AS exp_rate_r,
+         pow(n_obs - total * exp_rate, 2) / (total * exp_rate) AS term
+  FROM t
+)
+SELECT digit, n_obs, obs_rate,
+       exp_rate_r AS exp_rate,
+       round(term, 6) AS chisq_term,
+       round(sum(term) OVER (), 6) AS chisq_total,
+       (sum(term) OVER () < 15.507) AS benford_ok
+FROM terms
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: |value - mean|/std > 3 outliers (drift_detector.py:295-334)."""
     ev = _t(spark, sf_dir, "events")
@@ -2175,7 +2333,7 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #   r04 window: the 13 r03-parked stayed out (rows now 1 round stale);
 #               5 never-checked + 2 new entries led.
 #   r05 window (this ordering): all never-checked round-5 entries lead
-#               (30 by end of round — each late addition displaced one
+#               (32 by end of round — each late addition displaced one
 #               r04-green entry to the buffer with its rationale inline),
 #               then the 13 r03-only entries rotated back in, then 12
 #               r04-green core-surface entries. Every buffered entry has
@@ -2300,6 +2458,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference-exact PSI operator over both drift columns) plus the
     # per-metric split family (wasserstein/chisq/jsd/quantile-shift).
     "funnel_conversion": q_funnel_conversion,
+    # cohort_retention (never checked -> leads) displaces
+    # asof_join_events_split (r04-green) to the buffer: the split
+    # chunk/stitch machinery stays in-window via sessionized_events_split
+    # (same per-(key, chunk) local pass + boundary-stitch kernel), and
+    # the as-of split path keeps its hypothesis byte-identity sweep vs
+    # the unsplit twin.
+    "cohort_retention": q_cohort_retention,
+    # benford_first_digit (never checked -> leads) displaces
+    # weighted_sample_docs (r04-green) to the buffer: sampling coverage
+    # stays in-window via sampling_mixture_weights, and the A-ES priority
+    # kernel keeps its pytest property suite (relative-precision grid,
+    # distribution tests).
+    "benford_first_digit": q_benford_first_digit,
     # -- r04-green entries kept in-window (single green row, or complex
     #    operators worth continuous driver signal)
     **{
@@ -2307,7 +2478,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         for k in (
             "neardup_clusters",
             "curated_neardup_corpus",
-            "weighted_sample_docs",
         )
     },
     # -- core drift/validation surface (green r04; psi_nchars_split and
@@ -2315,7 +2485,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    late-r5 entries — the split-PSI/KS family stays in-window via
     #    psi_lang_split + drift_verdicts + multi_feature_drift)
     "drift_verdicts": q_drift_verdicts,
-    "asof_join_events_split": q_asof_join_events_split,
     "sessionized_events_split": q_sessionized_events_split,
     "streaming_drift": q_streaming_drift,
     # ------------------------------------------------------------------
@@ -2346,6 +2515,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # psi_lang_split parked (r04-green) for funnel_conversion
     # (see the inline comment where it leads its window block)
     "psi_lang_split": q_psi_lang_split,
+    # asof_join_events_split parked (r04-green) for cohort_retention
+    # (see the inline comment where it leads its window block)
+    "asof_join_events_split": q_asof_join_events_split,
+    # weighted_sample_docs parked (r04-green) for benford_first_digit
+    # (see the inline comment where it leads its window block)
+    "weighted_sample_docs": PIPELINE_QUERIES["weighted_sample_docs"],
     # multi_feature_drift and ann_ivf_trained_topk parked (r04-green) for
     # the final-r5 dup_span_profile + fd_source_lang_check (see the window
     # comment at the head of the dict)
@@ -2412,6 +2587,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "order_reconciliation": SQL_ORDER_RECONCILIATION,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "benford_first_digit": SQL_BENFORD_FIRST_DIGIT,
     "json_schema_drift": SQL_JSON_SCHEMA_DRIFT,
     "stats_moments": SQL_STATS_MOMENTS,
     "stats_quantiles": SQL_STATS_QUANTILES,

@@ -377,3 +377,78 @@ def test_funnel_conversion_first_touch_semantics(spark, tmp_path):
     assert got[1]["rate_vs_prev"] is None
     assert got[2]["rate_vs_start"] == pytest.approx(1 / 3, abs=1e-6)
     assert got[3]["rate_vs_prev"] == pytest.approx(1.0)
+
+
+def test_cohort_retention_planted(spark, tmp_path):
+    """Cohort grid semantics: duplicate same-day events collapse before
+    counting; offsets beyond 7 fall out; each cohort's rate is relative
+    to its OWN day-0 size."""
+    from mlops_drift_detection_spark.queries import q_cohort_retention
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 08:00:00"),
+        (1, "2024-01-03 09:00:00"),
+        (1, "2024-01-03 22:00:00"),   # same-day duplicate -> one active row
+        (2, "2024-01-01 10:00:00"),
+        (3, "2024-01-02 11:00:00"),
+        (3, "2024-01-09 12:00:00"),   # offset 7: last included day
+        (3, "2024-01-10 13:00:00"),   # offset 8: excluded
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        F.monotonically_increasing_id().alias("event_id"),
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = str(tmp_path / "ev")
+    ev.write.parquet(f"{out}/events.parquet")
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r
+        for r in q_cohort_retention(spark, out).collect()
+    }
+    assert set(got) == {
+        ("2024-01-01", 0), ("2024-01-01", 2),
+        ("2024-01-02", 0), ("2024-01-02", 7),
+    }
+    assert got[("2024-01-01", 0)]["n_active"] == 2
+    assert got[("2024-01-01", 2)]["n_active"] == 1
+    assert got[("2024-01-01", 2)]["retention_rate"] == pytest.approx(0.5)
+    assert got[("2024-01-02", 7)]["retention_rate"] == pytest.approx(1.0)
+
+
+def test_benford_first_digit_conforming_sample(spark, tmp_path):
+    """A sample generated AT the Benford proportions passes the chi-square
+    gate, and the integer-cents digit extraction handles the boundaries a
+    log10-based extractor gets wrong: exact powers of ten (100.00 -> 1)
+    and sub-dollar amounts (0.05 -> cents 5 -> digit 5)."""
+    import math
+
+    from mlops_drift_detection_spark.queries import q_benford_first_digit
+    from pyspark.sql import functions as F
+
+    rows = []
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        rows += [(float(d) * 100.0)] * n      # 100.00 -> digit 1, etc.
+    rows.append(0.05)                          # digit 5 via cents
+    orders = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "o_orderkey long, tp double"
+    ).select(
+        "o_orderkey",
+        F.lit(1).alias("o_custkey"),
+        F.lit("F").alias("o_orderstatus"),
+        F.col("tp").alias("o_totalprice"),
+        F.lit("1996-01-01").cast("date").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    out = str(tmp_path / "orders")
+    orders.write.parquet(f"{out}/orders.parquet")
+    got = {r["digit"]: r for r in q_benford_first_digit(spark, out).collect()}
+    assert set(got) == set(range(1, 10))
+    assert got[1]["n_obs"] == 301
+    assert got[5]["n_obs"] == 79 + 1           # the 0.05 boundary row
+    assert all(r["benford_ok"] for r in got.values())
+    assert got[1]["chisq_total"] < 1.0

@@ -264,6 +264,16 @@ EXPECTED: dict[str, dict] = {
     # frames are 1-row-per-user aggregates so no join fans out, and the
     # rate window runs over the 3-row step union.
     "funnel_conversion": {"scans": 6, "exch": 11},
+    # final-r5 cohort retention: 2 scans (activity-grid branch +
+    # first-day branch, both pruned to (user_id, ts)); the (user, day)
+    # distinct runs BEFORE the join so a 10^6-events-per-day user
+    # collapses to one row, and the rate window sees <= 8 rows per
+    # cohort partition.
+    "cohort_retention": {"scans": 2, "exch": 5},
+    # final-r5 Benford audit: one scan -> 9-group aggregate; the totals
+    # and chi-square windows run over the 9-row result (single-partition
+    # window safe by construction).
+    "benford_first_digit": {"scans": 1, "exch": 2},
 }
 
 AUDITED = list(EXPECTED)

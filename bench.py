@@ -104,6 +104,7 @@ EXTRAS_GROUP = [
     "funnel_conversion",
     "cohort_retention",
     "benford_first_digit",
+    "k_anonymity_events",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -402,3 +402,44 @@ def aggregate_reconciliation_profile(
             6,
         ).alias("avg_abs_gap"),
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    report_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) — the privacy-validation check that
+    pairs with PII detection: rows whose quasi-identifier combination is
+    shared by fewer than ``k`` rows are re-identifiable by linkage. Per
+    ``report_col`` value (which must be one of the quasi-identifiers, so
+    the rollup nests cleanly inside the grouping): total rows, distinct
+    quasi-identifier groups, groups below ``k``, rows AT RISK (sum of
+    small-group sizes), the risk rate, the smallest group, and whether
+    k-anonymity holds outright.
+
+    Scale shape (the groups-not-rows discipline of
+    ``functional_dependency_profile``): ONE quasi-identifier groupBy with
+    map-side partials collapses the corpus to |QI-combinations| rows;
+    the per-``report_col`` rollup then runs over group COUNTS, so a hot
+    identifier combination cannot skew any later stage."""
+    if report_col not in quasi_cols:
+        raise ValueError(
+            f"report_col {report_col!r} must be one of quasi_cols"
+        )
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    small = F.col("__n") < k
+    return g.groupBy(report_col).agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_qi_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).alias("n_small_groups"),
+        F.sum(F.when(small, F.col("__n")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.round(
+            F.sum(F.when(small, F.col("__n")).otherwise(0)) / F.sum("__n"), 6
+        ).alias("risk_rate"),
+        F.min("__n").alias("min_group_size"),
+        (F.min("__n") >= k).alias("k_anonymous"),
+    )

@@ -1197,6 +1197,56 @@ FROM terms
 """
 
 
+def q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the event stream (see
+    operators.constraints.k_anonymity_profile): quasi-identifiers are
+    (event_type, event date, value decade-bucket) — the linkage surface an
+    attacker with external knowledge of WHEN and roughly HOW MUCH would
+    join on. Per event_type: rows, QI groups, groups under k=5, rows at
+    risk, risk rate, smallest group, and the k-anonymity verdict. Around
+    two-thirds of this fixture's QI groups sit below k=5 — the audit's
+    answer is that this event table must be generalized (coarser buckets
+    / date truncation) before any release.
+
+    Value bucket is floor(value/10): both engines evaluate floor on the
+    identical double quotient, and the bucket is a group KEY (never
+    re-rounded), so cross-engine grouping is exact."""
+    from mlops_drift_detection_spark.operators.constraints import (
+        k_anonymity_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") / 10).alias("vb"),
+    )
+    return k_anonymity_profile(
+        ev, quasi_cols=["event_type", "d", "vb"], report_col="event_type", k=5
+    )
+
+
+SQL_K_ANONYMITY_EVENTS = """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(floor(value / 10) AS BIGINT) AS vb,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_qi_groups,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE / sum(n), 6)
+         AS risk_rate,
+       CAST(min(n) AS BIGINT) AS min_group_size,
+       (min(n) >= 5) AS k_anonymous
+FROM g GROUP BY event_type
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: |value - mean|/std > 3 outliers (drift_detector.py:295-334)."""
     ev = _t(spark, sf_dir, "events")
@@ -2333,7 +2383,7 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #   r04 window: the 13 r03-parked stayed out (rows now 1 round stale);
 #               5 never-checked + 2 new entries led.
 #   r05 window (this ordering): all never-checked round-5 entries lead
-#               (32 by end of round — each late addition displaced one
+#               (33 by end of round — each late addition displaced one
 #               r04-green entry to the buffer with its rationale inline),
 #               then the 13 r03-only entries rotated back in, then 12
 #               r04-green core-surface entries. Every buffered entry has
@@ -2471,12 +2521,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # kernel keeps its pytest property suite (relative-precision grid,
     # distribution tests).
     "benford_first_digit": q_benford_first_digit,
+    # k_anonymity_events (never checked -> leads) displaces
+    # neardup_clusters (r04-green) to the buffer: the large-star/small-star
+    # connected-components kernel stays in-window via
+    # curated_neardup_corpus, whose one-plan chain embeds the identical CC
+    # iteration with the same recursive-CTE oracle.
+    "k_anonymity_events": q_k_anonymity_events,
     # -- r04-green entries kept in-window (single green row, or complex
     #    operators worth continuous driver signal)
     **{
         k: PIPELINE_QUERIES[k]
         for k in (
-            "neardup_clusters",
             "curated_neardup_corpus",
         )
     },
@@ -2521,6 +2576,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # weighted_sample_docs parked (r04-green) for benford_first_digit
     # (see the inline comment where it leads its window block)
     "weighted_sample_docs": PIPELINE_QUERIES["weighted_sample_docs"],
+    # neardup_clusters parked (r04-green) for k_anonymity_events
+    # (see the inline comment where it leads its window block)
+    "neardup_clusters": PIPELINE_QUERIES["neardup_clusters"],
     # multi_feature_drift and ann_ivf_trained_topk parked (r04-green) for
     # the final-r5 dup_span_profile + fd_source_lang_check (see the window
     # comment at the head of the dict)
@@ -2589,6 +2647,7 @@ ORACLES: dict[str, str] = {
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "cohort_retention": SQL_COHORT_RETENTION,
     "benford_first_digit": SQL_BENFORD_FIRST_DIGIT,
+    "k_anonymity_events": SQL_K_ANONYMITY_EVENTS,
     "json_schema_drift": SQL_JSON_SCHEMA_DRIFT,
     "stats_moments": SQL_STATS_MOMENTS,
     "stats_quantiles": SQL_STATS_QUANTILES,

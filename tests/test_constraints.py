@@ -244,3 +244,27 @@ def test_aggregate_reconciliation_profile_planted(spark):
     assert b["max_abs_gap"] == pytest.approx(0.01)
     assert (c["n_parents"], c["n_no_children"], c["n_mismatch"]) == (1, 0, 0)
     assert c["max_abs_gap"] == 0.0  # EXACTLY zero, not 4.4e-17
+
+
+def test_k_anonymity_profile_planted(spark):
+    """Group arithmetic and the verdict: report value A has a 5-row group
+    (safe at k=5) plus a 2-row group (at risk); B's single 6-row group is
+    k-anonymous outright. report_col outside quasi_cols is a ValueError."""
+    rows = (
+        [("A", "x", 1)] * 5 + [("A", "y", 2)] * 2 + [("B", "z", 3)] * 6
+    )
+    df = spark.createDataFrame(rows, "r string, q1 string, q2 int")
+    out = {
+        row["r"]: row
+        for row in C.k_anonymity_profile(
+            df, quasi_cols=["r", "q1", "q2"], report_col="r", k=5
+        ).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert (a["n_rows"], a["n_qi_groups"], a["n_small_groups"]) == (7, 2, 1)
+    assert (a["n_rows_at_risk"], a["min_group_size"]) == (2, 2)
+    assert not a["k_anonymous"]
+    assert a["risk_rate"] == pytest.approx(2 / 7, abs=1e-6)
+    assert b["k_anonymous"] and b["n_rows_at_risk"] == 0
+    with pytest.raises(ValueError):
+        C.k_anonymity_profile(df, ["q1"], "r")

@@ -274,6 +274,10 @@ EXPECTED: dict[str, dict] = {
     # and chi-square windows run over the 9-row result (single-partition
     # window safe by construction).
     "benford_first_digit": {"scans": 1, "exch": 2},
+    # final-r5 k-anonymity: one quasi-identifier groupBy with map-side
+    # partials collapses the corpus to |QI-combinations| rows; the
+    # per-type rollup runs over group counts (the FD-check discipline).
+    "k_anonymity_events": {"scans": 1, "exch": 2},
 }
 
 AUDITED = list(EXPECTED)

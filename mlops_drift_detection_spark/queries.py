@@ -989,16 +989,24 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.orderBy("step").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # nullif guards: an EMPTY step has n_users = 0, and under ANSI mode a
+    # 0-denominator long division throws ArithmeticException (found by the
+    # hypothesis brute-force sweep — the sf fixtures never produce an
+    # empty step). NULL rate for "conversion out of an empty step" is also
+    # the honest answer, and both engines state it identically.
     return steps.select(
         "step",
         "step_name",
         "n_users",
-        F.round(F.col("n_users") / F.first("n_users").over(wall), 6).alias(
-            "rate_vs_start"
-        ),
-        F.round(F.col("n_users") / F.lag("n_users").over(w), 6).alias(
-            "rate_vs_prev"
-        ),
+        F.round(
+            F.col("n_users")
+            / F.nullif(F.first("n_users").over(wall), F.lit(0)),
+            6,
+        ).alias("rate_vs_start"),
+        F.round(
+            F.col("n_users") / F.nullif(F.lag("n_users").over(w), F.lit(0)),
+            6,
+        ).alias("rate_vs_prev"),
     )
 
 
@@ -1031,9 +1039,10 @@ steps AS (
 )
 SELECT step, step_name, n_users,
        round(n_users::DOUBLE
-             / first_value(n_users) OVER (ORDER BY step), 6)
+             / nullif(first_value(n_users) OVER (ORDER BY step), 0), 6)
          AS rate_vs_start,
-       round(n_users::DOUBLE / lag(n_users) OVER (ORDER BY step), 6)
+       round(n_users::DOUBLE
+             / nullif(lag(n_users) OVER (ORDER BY step), 0), 6)
          AS rate_vs_prev
 FROM steps
 """

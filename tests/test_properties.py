@@ -409,3 +409,75 @@ def test_containment_prefix_complete_on_arbitrary_docs(spark, docs, t):
     }
     want = _containment_py(docs, t)
     assert got == want, f"t={t}: spark={got} python={want}"
+
+
+def _funnel_py(events, day_s=86400):
+    """Brute-force first-touch funnel mirror: events = [(user, type, ts_s)]."""
+    by_user = {}
+    for u, ty, t in events:
+        by_user.setdefault(u, []).append((ty, t))
+    n = [0, 0, 0]
+    for u, evs in by_user.items():
+        views = sorted(t for ty, t in evs if ty == "view")
+        if not views:
+            continue
+        t1 = views[0]
+        n[0] += 1
+        clicks = sorted(
+            t for ty, t in evs if ty == "click" and t1 < t <= t1 + day_s
+        )
+        if not clicks:
+            continue
+        t2 = clicks[0]
+        n[1] += 1
+        purch = sorted(
+            t for ty, t in evs if ty == "purchase" and t2 < t <= t2 + day_s
+        )
+        if purch:
+            n[2] += 1
+    return n
+
+
+ev_type = st.sampled_from(["view", "click", "purchase"])
+# hour-resolution offsets over ~3 days: plenty of events straddle the
+# 24 h step windows, including exact-boundary hits (== t1 + 24 h counts)
+ev_offset_h = st.integers(min_value=0, max_value=72)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=5), ev_type, ev_offset_h),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_matches_bruteforce_on_arbitrary_streams(spark, raw):
+    """First-touch funnel semantics, adversarially instantiated: arbitrary
+    small event streams (same-timestamp collisions, boundary hits at
+    exactly t+24 h, missing steps, out-of-order arrival) must produce the
+    identical step counts as a brute-force per-user Python mirror."""
+    from mlops_drift_detection_spark.queries import q_funnel_conversion
+    from pyspark.sql import functions as F
+    import tempfile
+
+    events = [(u, ty, h * 3600) for u, ty, h in raw]
+    want = _funnel_py(events)
+    df = spark.createDataFrame(
+        [(i, u, ty, sec) for i, (u, ty, sec) in enumerate(events)],
+        "event_id long, user_id long, event_type string, s long",
+    ).select(
+        "event_id",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("s"))).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as out:
+        df.write.parquet(f"{out}/events.parquet")
+        got_rows = {r["step"]: r["n_users"]
+                    for r in q_funnel_conversion(spark, out).collect()}
+    got = [got_rows.get(s, 0) for s in (1, 2, 3)]
+    assert got == want, f"spark={got} python={want} events={events}"

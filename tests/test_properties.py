@@ -481,3 +481,67 @@ def test_funnel_matches_bruteforce_on_arbitrary_streams(spark, raw):
                     for r in q_funnel_conversion(spark, out).collect()}
     got = [got_rows.get(s, 0) for s in (1, 2, 3)]
     assert got == want, f"spark={got} python={want} events={events}"
+
+
+def _cohort_py(events):
+    """Brute-force cohort mirror: events = [(user, day_int)] -> {(cohort,
+    offset): n} over offsets 0-7, distinct (user, day)."""
+    by_user = {}
+    for u, d in set(events):
+        by_user.setdefault(u, set()).add(d)
+    out = {}
+    for u, days in by_user.items():
+        c = min(days)
+        for d in days:
+            off = d - c
+            if 0 <= off <= 7:
+                out[(c, off)] = out.get((c, off), 0) + 1
+    return out
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cohort_retention_matches_bruteforce(spark, raw):
+    """Cohort grid counts, adversarially instantiated: arbitrary (user,
+    day) activity patterns — duplicate same-day events, offset-8+ gaps,
+    single-day users — must reproduce the brute-force per-user mirror."""
+    from mlops_drift_detection_spark.queries import q_cohort_retention
+    from pyspark.sql import functions as F
+    import datetime
+    import tempfile
+
+    want = _cohort_py(raw)
+    base = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, u, d) for i, (u, d) in enumerate(raw)],
+        "event_id long, user_id long, d int",
+    ).select(
+        "event_id",
+        (
+            F.lit("2024-01-01 12:00:00").cast("timestamp")
+            + F.make_interval(days=F.col("d"))
+        ).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as out:
+        df.write.parquet(f"{out}/events.parquet")
+        got = {
+            (
+                (r["cohort_day"] - base).days,
+                r["day_offset"],
+            ): r["n_active"]
+            for r in q_cohort_retention(spark, out).collect()
+        }
+    assert got == want, f"spark={got} python={want} raw={raw}"

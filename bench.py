@@ -105,6 +105,7 @@ EXTRAS_GROUP = [
     "cohort_retention",
     "benford_first_digit",
     "k_anonymity_events",
+    "cusum_changepoint",
 ]
 
 BENCH_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")

@@ -1408,6 +1408,110 @@ def q_volume_anomaly_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential changepoint detection on daily volumes — tabular CUSUM
+    (Page 1954; the SPC method every monitoring textbook ships): where
+    ``volume_anomaly_check`` flags single-day spikes against a trailing
+    window, CUSUM accumulates small SUSTAINED deviations and fires on
+    level SHIFTS a pointwise z-score never sees. Per (event_type, day):
+    the upward and downward CUSUM statistics with slack k = 0.5σ, and a
+    shift flag at the standard h = 4σ decision interval.
+
+    The CUSUM recursion S_i = max(0, S_{i-1} + y_i) is not a built-in
+    window function in ANY SQL engine — but its closed form is:
+    S_i = prefix_i − min(0, min_{j<=i} prefix_j) over the running sum of
+    deviations, which IS two stock window functions (cumulative sum, then
+    running min). Both engines state the identical three window stages,
+    so the plan needs no UDF, no recursion, and no per-row Python.
+
+    Scale shape: the daily pre-aggregate collapses the stream to
+    |types| × |days| rows before ANY window (one corpus exchange,
+    map-side partials — the volume_anomaly skeleton); all three window
+    stages then run per-type over that tiny aggregate. μ is exact in
+    both engines (an integer-sum divided by the day count); σ differs
+    only in the last ulps, far from the 4σ flag boundary."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type"), F.to_date(F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wall = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d1 = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.avg("n_events").over(wall).alias("mu"),
+        F.stddev_samp("n_events").over(wall).alias("sd"),
+    )
+    d2 = d1.select(
+        "event_type",
+        "day",
+        "n_events",
+        "sd",
+        F.sum(F.col("n_events") - F.col("mu") - 0.5 * F.col("sd"))
+        .over(wcum)
+        .alias("pp"),
+        F.sum(F.col("mu") - F.col("n_events") - 0.5 * F.col("sd"))
+        .over(wcum)
+        .alias("pn"),
+    )
+    s_up = F.col("pp") - F.least(F.lit(0.0), F.min("pp").over(wcum))
+    s_dn = F.col("pn") - F.least(F.lit(0.0), F.min("pn").over(wcum))
+    flag = (s_up > 4 * F.col("sd")) | (s_dn > 4 * F.col("sd"))
+    return d2.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(s_up, 6).alias("cusum_up"),
+        F.round(s_dn, 6).alias("cusum_down"),
+        F.coalesce(flag, F.lit(False)).alias("shift_flag"),
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+d1 AS (
+  SELECT event_type, day, n_events,
+         avg(n_events) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(n_events) OVER (PARTITION BY event_type) AS sd
+  FROM daily
+),
+d2 AS (
+  SELECT event_type, day, n_events, sd,
+         sum(n_events - mu - 0.5 * sd)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS pp,
+         sum(mu - n_events - 0.5 * sd)
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS pn
+  FROM d1
+),
+d3 AS (
+  SELECT event_type, day, n_events, sd, pp, pn,
+         pp - least(0.0, min(pp) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS UNBOUNDED PRECEDING)) AS s_up,
+         pn - least(0.0, min(pn) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS UNBOUNDED PRECEDING)) AS s_dn
+  FROM d2
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       round(s_up, 6) AS cusum_up,
+       round(s_dn, 6) AS cusum_down,
+       coalesce(s_up > 4 * sd OR s_dn > 4 * sd, false) AS shift_flag
+FROM d3
+"""
+
+
 SQL_VOLUME_ANOMALY_CHECK = """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -2392,7 +2496,7 @@ from mlops_drift_detection_spark.queries_pipeline import (  # noqa: E402
 #   r04 window: the 13 r03-parked stayed out (rows now 1 round stale);
 #               5 never-checked + 2 new entries led.
 #   r05 window (this ordering): all never-checked round-5 entries lead
-#               (33 by end of round — each late addition displaced one
+#               (34 by end of round — each late addition displaced one
 #               r04-green entry to the buffer with its rationale inline),
 #               then the 13 r03-only entries rotated back in, then 12
 #               r04-green core-surface entries. Every buffered entry has
@@ -2419,8 +2523,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    daily_event_windows, binary_dispatch_profile, append_log_window
     #    and compacted_roundtrip_stats parked to the buffer to make room —
     #    all eight have green r04 rows, within the two-round contract;
-    #    streaming breadth stays in-window via streaming_dedup_counts +
-    #    streaming_drift)
+    #    streaming breadth stays in-window via streaming_dedup_counts;
+    #    streaming_drift itself was parked late-r5 for cusum_changepoint,
+    #    see its buffer comment)
     "code_validation_counts": q_code_validation_counts,
     "wasserstein_nchars_split": q_wasserstein_nchars_split,
     "chisq_lang_split": q_chisq_lang_split,
@@ -2550,7 +2655,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    psi_lang_split + drift_verdicts + multi_feature_drift)
     "drift_verdicts": q_drift_verdicts,
     "sessionized_events_split": q_sessionized_events_split,
-    "streaming_drift": q_streaming_drift,
+    # cusum_changepoint (never checked -> must be in-window per the
+    # rotation contract) displaces streaming_drift (r04-green) to the
+    # buffer: the streaming topology keeps in-window driver signal via
+    # streaming_dedup_counts (stateful multi-batch dropDuplicates,
+    # getting its first driver row this round), and the round-5
+    # multi-batch PSI generalization keeps its dedicated pytest (a source
+    # split across >= 2 micro-batches vs the static DuckDB PSI) plus the
+    # local parity sweep.
+    "cusum_changepoint": q_cusum_changepoint,
     # ------------------------------------------------------------------
     # Rotation buffer (positions 51+, outside the driver's CORRECTNESS
     # window this round). Every entry below has a GREEN r04 driver row, so
@@ -2564,6 +2677,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # _split twins, which share the same DuckDB oracles, and exact-Jaccard
     # join semantics via minhash_lsh_jaccard's verify stage.)
     # ------------------------------------------------------------------
+    # streaming_drift parked (r04-green) for cusum_changepoint
+    # (see the inline comment where it leads its window block)
+    "streaming_drift": q_streaming_drift,
     # embedding_neardup_exact parked (r04-green) for source_fork_pairs
     # (see the inline comment where it leads its window block)
     "embedding_neardup_exact": PIPELINE_QUERIES["embedding_neardup_exact"],
@@ -2708,6 +2824,7 @@ ORACLES: dict[str, str] = {
     "fd_source_lang_check": SQL_FD_SOURCE_LANG_CHECK,
     "json_conformance_profile": SQL_JSON_CONFORMANCE_PROFILE,
     "volume_anomaly_check": SQL_VOLUME_ANOMALY_CHECK,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     **MULTI_DRIFT_ORACLES,
     **PIPELINE_ORACLES,
 }

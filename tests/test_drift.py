@@ -452,3 +452,60 @@ def test_benford_first_digit_conforming_sample(spark, tmp_path):
     assert got[5]["n_obs"] == 79 + 1           # the 0.05 boundary row
     assert all(r["benford_ok"] for r in got.values())
     assert got[1]["chisq_total"] < 1.0
+
+
+def test_cusum_changepoint_detects_level_shift(spark, tmp_path):
+    """A sustained +50% level shift fires the upward CUSUM after the
+    changepoint while a steady series never flags; the windowed closed
+    form (prefix - running min) must equal the textbook recursion
+    S_i = max(0, S_{i-1} + y_i) computed in Python."""
+    import statistics
+
+    from mlops_drift_detection_spark.queries import q_cusum_changepoint
+    from pyspark.sql import functions as F
+
+    counts = {"shifted": [100] * 20 + [150] * 10, "steady": [100] * 30}
+    rows = []
+    eid = 0
+    for ty, series in counts.items():
+        for day, n in enumerate(series):
+            for _ in range(n):
+                rows.append((eid, ty, day))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, d int"
+    ).select(
+        "event_id",
+        (
+            F.lit("2024-01-01 12:00:00").cast("timestamp")
+            + F.make_interval(days=F.col("d"))
+        ).alias("ts"),
+        F.lit(1).alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = str(tmp_path / "ev")
+    ev.write.parquet(f"{out}/events.parquet")
+    got = {
+        (r["event_type"], str(r["day"])): r
+        for r in q_cusum_changepoint(spark, out).collect()
+    }
+    for ty, series in counts.items():
+        mu = sum(series) / len(series)
+        sd = statistics.stdev(series)
+        s = 0.0
+        for day, x in enumerate(series):
+            s = max(0.0, s + x - mu - 0.5 * sd)
+            r = got[(ty, f"2024-01-{day + 1:02d}")]
+            assert r["cusum_up"] == pytest.approx(s, abs=1e-4), (ty, day)
+    # the steady series never flags; the shifted one flags only after day 20
+    assert not any(
+        got[("steady", f"2024-01-{d + 1:02d}")]["shift_flag"]
+        for d in range(30)
+    )
+    flags = [
+        got[("shifted", f"2024-01-{d + 1:02d}")]["shift_flag"]
+        for d in range(30)
+    ]
+    assert not any(flags[:20]) and any(flags[20:])

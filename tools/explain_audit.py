@@ -278,6 +278,11 @@ EXPECTED: dict[str, dict] = {
     # partials collapses the corpus to |QI-combinations| rows; the
     # per-type rollup runs over group counts (the FD-check discipline).
     "k_anonymity_events": {"scans": 1, "exch": 2},
+    # final-r5 CUSUM changepoint: the daily pre-aggregate (one corpus
+    # exchange) then THREE chained window stages over the tiny
+    # |types| x |days| aggregate sharing one per-type repartition — the
+    # prefix-minus-running-min closed form needs no UDF or recursion.
+    "cusum_changepoint": {"scans": 1, "exch": 2},
 }
 
 AUDITED = list(EXPECTED)
